@@ -1,0 +1,91 @@
+"""Benchmark: core video->4D denoise workload on the current device.
+
+Times the dominant inference compute — a 32-step DPM-Solver++ multistep
+denoise of the deformation latent with the full-size DiT (12x512, dual-scale
+3-way CFG batch), the hot loop of inference_dpm_latent.py (reference
+model/dpmsolver.py:1188-1230 + model/dit.py:449). The whole chain compiles to
+one fused XLA graph via lax.scan.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = (10 s target from BASELINE.md) / measured — >1 means the core
+denoise fits the end-to-end budget with headroom.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from gvfdiffusion_tpu.diffusion.dpm_solver import (
+        DPMSolver, NoiseScheduleVP, model_wrapper,
+    )
+    from gvfdiffusion_tpu.diffusion.gaussian_diffusion import get_named_beta_schedule
+    from gvfdiffusion_tpu.models.dit import DiT
+
+    # full inference-size workload (configs/diffusion.yml:1-14; 32 frames,
+    # DINOv2 token length 1370 = 1 cls + 37^2 patches for 518^2 input)
+    B, T, N, C = 1, 32, 512, 16
+    L, Ns = 1370, 512
+    steps = 32
+
+    dtype = jnp.bfloat16 if jax.devices()[0].platform == "tpu" else jnp.float32
+    model = DiT(
+        resolution=N, in_channels=C, model_channels=512,
+        static_cond_channels=14, image_cond_channels=1024, out_channels=C,
+        num_blocks=12, num_heads=16, pe_mode="ape", qk_rms_norm=True,
+        no_temporal_attn=False, dtype=dtype,
+    )
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 6)
+    x = jax.random.normal(ks[0], (B, T, N, C))
+    cond = dict(
+        cond_images=jax.random.normal(ks[1], (B, T, L, 1024), dtype),
+        static_latent=jax.random.normal(ks[2], (B, Ns, 14)),
+        positions=jax.random.uniform(ks[3], (B, N, 3)),
+    )
+    params = model.init(
+        ks[4], x, jnp.zeros((B,)), cond["cond_images"], cond["static_latent"],
+        cond["positions"],
+    )
+
+    betas = get_named_beta_schedule("cosine", 1000)
+    ns = NoiseScheduleVP.from_betas(betas)
+
+    def raw_model(xx, tt, cond_images=None, static_latent=None, positions=None):
+        return model.apply(params, xx, tt, cond_images, static_latent, positions)
+
+    model_fn = model_wrapper(
+        raw_model, ns, model_type="v", guidance_type="classifier-free",
+        condition=cond, unconditional_condition=cond,
+        guidance_scale=2.0, guidance_scale2=5.0,
+    )
+    solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++")
+
+    @jax.jit
+    def sample(noise):
+        return solver.sample(noise, steps=steps, order=2, method="multistep")
+
+    noise = jax.random.normal(ks[5], (B, T, N, C))
+    out = sample(noise)  # compile + first run
+    jax.block_until_ready(out)
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = sample(noise)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    print(json.dumps({
+        "metric": "dpm32_denoise_latency_b1_cfg3",
+        "value": round(dt, 4),
+        "unit": "s",
+        "vs_baseline": round(10.0 / dt, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

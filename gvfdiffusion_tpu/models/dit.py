@@ -1,0 +1,123 @@
+"""Temporal-aware DiT denoiser for the Gaussian Variation Field latent.
+
+Re-design of the reference's DiT (model/dit.py:306-480) as a flax module with
+TPU-first choices: channels-last bf16 compute, factorized spatio-temporal
+attention (full attention only over N=512 spatial latents or T<=32 frames —
+never N*T jointly, reference model/dit.py:244-260), `jax.checkpoint` (remat)
+on a static subset of blocks replacing the ElasticModule mem_ratio machinery
+(reference model/dit.py:429-447, utils/elastic_utils.py).
+
+Inputs (reference shapes, configs/diffusion.yml:1-14):
+  x              (B, T, N=512, C_in=16)   noisy variation-field latent
+  t              (B,)                     diffusion timesteps
+  cond_images    (B, T, L, 1024)          DINOv2 video tokens
+  static_latent  (B, Ns, 14)              canonical-GS conditioning
+  positions      (B, N, 3)                FPS-anchor xyz for APE mode
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..nn.embedders import AbsolutePositionEmbedder, TimestepEmbedder
+from ..nn.transformer import FinalLayer, ModulatedTransformerCrossBlock
+
+
+class DiT(nn.Module):
+    resolution: int = 512  # number of spatial latents N
+    in_channels: int = 16
+    model_channels: int = 512
+    static_cond_channels: int = 14
+    image_cond_channels: int = 1024
+    out_channels: int = 16
+    num_blocks: int = 12
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    pe_mode: str = "ape"  # "ape" | "rope" | "learnable" | "none"
+    share_mod: bool = False
+    qk_rms_norm: bool = True
+    qk_rms_norm_cross: bool = False
+    no_temporal_attn: bool = False
+    # number of leading blocks to rematerialize (gradient checkpointing);
+    # static per-compile — the TPU-native equivalent of mem_ratio.
+    remat_blocks: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    def mem_ratio_to_remat_blocks(self, mem_ratio: float) -> int:
+        """Reference mapping: checkpoint first ceil((1-r)*n)+1 blocks
+        (model/dit.py:429-442)."""
+        if mem_ratio >= 1.0:
+            return 0
+        return min(math.ceil((1 - mem_ratio) * self.num_blocks) + 1, self.num_blocks)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        cond_images: jnp.ndarray,
+        static_latent: jnp.ndarray,
+        positions: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        B, T, N, _ = x.shape
+        C = self.model_channels
+        xavier = nn.initializers.xavier_uniform()
+
+        h = nn.Dense(C, dtype=self.dtype, kernel_init=xavier, name="input_layer")(x)
+
+        t_emb = TimestepEmbedder(C, name="t_embedder")(t)
+
+        image_emb = nn.Dense(
+            C, dtype=self.dtype, kernel_init=nn.initializers.normal(0.02),
+            name="image_cond_proj",
+        )(cond_images)
+        static_emb = nn.Dense(
+            C, dtype=self.dtype, kernel_init=nn.initializers.normal(0.02),
+            name="static_cond_proj",
+        )(static_latent)
+        # broadcast static conditioning over frames: (B, Ns, C) -> (B, T, Ns, C)
+        static_emb = jnp.broadcast_to(
+            static_emb[:, None], (B, T) + static_emb.shape[1:]
+        )
+
+        mod = t_emb
+        if self.share_mod:
+            n_out = (6 if self.no_temporal_attn else 9) * C
+            mod = nn.Dense(
+                n_out, dtype=self.dtype, kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros, name="adaLN_modulation",
+            )(nn.silu(t_emb))
+
+        if self.pe_mode == "ape":
+            assert positions is not None, "APE mode requires positions"
+            pe = AbsolutePositionEmbedder(C, name="pos_embedder")(positions)
+            h = h + pe[:, None].astype(h.dtype)  # broadcast over T
+        elif self.pe_mode == "learnable":
+            pe = self.param(
+                "pos_emb", nn.initializers.normal(1.0), (1, self.resolution, C)
+            )
+            h = h + pe[None].astype(h.dtype)
+
+        block_kwargs = dict(
+            channels=C,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            use_rope=(self.pe_mode == "rope"),
+            qk_rms_norm=self.qk_rms_norm,
+            qk_rms_norm_cross=self.qk_rms_norm_cross,
+            share_mod=self.share_mod,
+            no_temporal_attn=self.no_temporal_attn,
+            dtype=self.dtype,
+        )
+        RematBlock = nn.remat(ModulatedTransformerCrossBlock)
+        for i in range(self.num_blocks):
+            Block = RematBlock if i < self.remat_blocks else ModulatedTransformerCrossBlock
+            h = Block(**block_kwargs, name=f"blocks_{i}")(h, mod, image_emb, static_emb)
+
+        return FinalLayer(
+            C, self.out_channels, dtype=self.dtype, name="final_layer"
+        )(h, mod).astype(jnp.float32)

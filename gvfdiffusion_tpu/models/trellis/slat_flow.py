@@ -1,0 +1,239 @@
+"""TRELLIS structured-latent (SLat) flow model: sparse U-DiT.
+
+Re-design of reference trellis/models/structured_latent_flow.py:14-262:
+SparseResBlock3d io-blocks (conv + downsample/upsample with skip
+connections) around a stack of modulated sparse transformer cross blocks
+(full sparse self-attn + cross-attn to DINOv2 tokens).
+
+The up/down structure pairing is explicit here: each downsample pushes its
+(child-structure, child->parent map) onto a stack that the matching upsample
+pops — replacing the reference's spatial-cache side channel
+(sparse/conv/conv_spconv.py:54-74 inverse-conv cache semantics).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...nn.embedders import AbsolutePositionEmbedder, TimestepEmbedder
+from ...nn.attention import MultiHeadRMSNorm  # noqa: F401 (re-export convenience)
+from ...sparse.attention import SparseMultiHeadAttention
+from ...sparse.conv import SparseConv3d
+from ...sparse.ops import (
+    SparseLayerNorm, SparseLinear, sparse_downsample, sparse_upsample,
+)
+from ...sparse.tensor import SparseVoxels
+
+
+class SparseResBlock3d(nn.Module):
+    """Timestep-modulated sparse conv ResBlock, optional 2x down/up sampling
+    (reference structured_latent_flow.py:14-66)."""
+
+    channels: int
+    emb_channels: int
+    out_channels: Optional[int] = None
+    downsample: bool = False
+    upsample: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: SparseVoxels,
+        emb: jnp.ndarray,
+        up_structure: Optional[Tuple[SparseVoxels, jnp.ndarray]] = None,
+    ):
+        """Returns (out, down_structure or None). For upsample blocks pass the
+        matching (child_template, child_to_parent) via `up_structure`."""
+        out_ch = self.out_channels or self.channels
+        down_struct = None
+
+        if self.downsample:
+            template = x
+            res = sparse_downsample(x, 2)
+            x = res.parents
+            down_struct = (template, res.child_to_parent)
+        elif self.upsample:
+            assert up_structure is not None, "upsample needs the paired structure"
+            child_template, c2p = up_structure
+            x = sparse_upsample(x, child_template, c2p)
+
+        emb_out = nn.Dense(
+            2 * out_ch, dtype=self.dtype, name="emb_layers",
+        )(nn.silu(emb))
+        scale, shift = jnp.split(emb_out, 2, axis=-1)
+
+        h = SparseLayerNorm(affine=True, name="norm1")(x)
+        h = h.map_feats(nn.silu)
+        h = SparseConv3d(out_ch, 3, dtype=self.dtype, name="conv1")(h)
+        h = SparseLayerNorm(affine=False, name="norm2")(h)
+        h = h.replace_feats(h.feats * (1 + scale[:, None]) + shift[:, None])
+        h = h.map_feats(nn.silu)
+        h = SparseConv3d(
+            out_ch, 3, kernel_init=nn.initializers.zeros, dtype=self.dtype,
+            name="conv2",
+        )(h)
+        if self.channels != out_ch:
+            skip = SparseLinear(out_ch, dtype=self.dtype, name="skip_connection")(x)
+        else:
+            skip = x
+        out = h + skip.feats
+        return out, down_struct
+
+
+class ModulatedSparseCrossBlock(nn.Module):
+    """Sparse self-attn + cross-attn + MLP with adaLN-Zero (reference
+    trellis/modules/sparse/transformer/modulated.py ModulatedSparseTransformerCrossBlock)."""
+
+    channels: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qk_rms_norm: bool = False
+    qk_rms_norm_cross: bool = False
+    share_mod: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: SparseVoxels, mod: jnp.ndarray, context: jnp.ndarray):
+        from ..static_vae import SparseFeedForward
+
+        C = self.channels
+        zero = nn.initializers.zeros
+        if self.share_mod:
+            chunks = jnp.split(mod, 6, axis=-1)
+        else:
+            m = nn.Dense(6 * C, dtype=self.dtype, kernel_init=zero, bias_init=zero,
+                         name="adaLN_modulation")(nn.silu(mod))
+            chunks = jnp.split(m, 6, axis=-1)
+        sh_a, sc_a, g_a, sh_m, sc_m, g_m = chunks
+
+        h = SparseLayerNorm(affine=False, name="norm1")(x)
+        h = h.replace_feats(h.feats * (1 + sc_a[:, None]) + sh_a[:, None])
+        h = SparseMultiHeadAttention(
+            C, self.num_heads, attn_mode="full", qk_rms_norm=self.qk_rms_norm,
+            dtype=self.dtype, name="self_attn",
+        )(h)
+        x = x + h.feats * g_a[:, None]
+
+        h = SparseLayerNorm(affine=True, name="norm2")(x)
+        h = SparseMultiHeadAttention(
+            C, self.num_heads, attn_type="cross",
+            qk_rms_norm=self.qk_rms_norm_cross, dtype=self.dtype,
+            name="cross_attn",
+        )(h, context)
+        x = x + h.feats
+
+        h = SparseLayerNorm(affine=False, name="norm3")(x)
+        h = h.replace_feats(h.feats * (1 + sc_m[:, None]) + sh_m[:, None])
+        h = SparseFeedForward(C, self.mlp_ratio, dtype=self.dtype, name="mlp")(h)
+        x = x + h.feats * g_m[:, None]
+        return x
+
+
+class SLatFlowModel(nn.Module):
+    """See module docstring. Default config mirrors the released
+    slat_flow_img_dit_L_64l8p2 (64^3 res, patch 2, io channels [128, ...])."""
+
+    resolution: int = 64
+    in_channels: int = 8
+    model_channels: int = 1024
+    cond_channels: int = 1024
+    out_channels: int = 8
+    num_blocks: int = 24
+    num_heads: Optional[int] = 16
+    mlp_ratio: float = 4.0
+    patch_size: int = 2
+    num_io_res_blocks: int = 2
+    io_block_channels: Sequence[int] = (128,)
+    pe_mode: str = "ape"
+    use_skip_connection: bool = True
+    share_mod: bool = False
+    qk_rms_norm: bool = False
+    qk_rms_norm_cross: bool = False
+    remat_blocks: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: SparseVoxels, t: jnp.ndarray, cond: jnp.ndarray) -> SparseVoxels:
+        C = self.model_channels
+        h = SparseLinear(self.io_block_channels[0], dtype=self.dtype,
+                         name="input_layer")(x)
+        t_emb = TimestepEmbedder(C, name="t_embedder")(t)
+        mod = t_emb
+        if self.share_mod:
+            mod = nn.Dense(
+                6 * C, dtype=self.dtype, kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros, name="adaLN_modulation",
+            )(nn.silu(t_emb))
+
+        skips: List[jnp.ndarray] = []
+        structures: List[Tuple[SparseVoxels, jnp.ndarray]] = []
+        io_chs = list(self.io_block_channels)
+        bi = 0
+        for chs, next_chs in zip(io_chs, io_chs[1:] + [C]):
+            for _ in range(self.num_io_res_blocks - 1):
+                h, _ = SparseResBlock3d(
+                    chs, C, out_channels=chs, dtype=self.dtype,
+                    name=f"input_blocks_{bi}",
+                )(h, t_emb)
+                skips.append(h.feats)
+                bi += 1
+            h, ds = SparseResBlock3d(
+                chs, C, out_channels=next_chs, downsample=True, dtype=self.dtype,
+                name=f"input_blocks_{bi}",
+            )(h, t_emb)
+            structures.append(ds)
+            skips.append(h.feats)
+            bi += 1
+
+        if self.pe_mode == "ape":
+            pe = AbsolutePositionEmbedder(C, name="pos_embedder")(
+                h.coords.astype(jnp.float32)
+            )
+            h = h + pe * h.valid[..., None]
+
+        RematBlock = nn.remat(ModulatedSparseCrossBlock)
+        for i in range(self.num_blocks):
+            Block = RematBlock if i < self.remat_blocks else ModulatedSparseCrossBlock
+            h = Block(
+                channels=C, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+                qk_rms_norm=self.qk_rms_norm,
+                qk_rms_norm_cross=self.qk_rms_norm_cross,
+                share_mod=self.share_mod, dtype=self.dtype, name=f"blocks_{i}",
+            )(h, mod, cond)
+
+        bo = 0
+        rev_skips = list(reversed(skips))
+        si = 0
+        for chs, prev_chs in zip(
+            reversed(io_chs), [C] + list(reversed(io_chs[1:]))
+        ):
+            # upsample block (pops the paired downsample structure)
+            if self.use_skip_connection:
+                h = h.replace(feats=jnp.concatenate([h.feats, rev_skips[si]], -1))
+            si += 1
+            h, _ = SparseResBlock3d(
+                prev_chs * 2 if self.use_skip_connection else prev_chs,
+                C, out_channels=chs, upsample=True, dtype=self.dtype,
+                name=f"out_blocks_{bo}",
+            )(h, t_emb, up_structure=structures.pop())
+            bo += 1
+            for _ in range(self.num_io_res_blocks - 1):
+                if self.use_skip_connection:
+                    h = h.replace(feats=jnp.concatenate([h.feats, rev_skips[si]], -1))
+                si += 1
+                h, _ = SparseResBlock3d(
+                    chs * 2 if self.use_skip_connection else chs,
+                    C, out_channels=chs, dtype=self.dtype,
+                    name=f"out_blocks_{bo}",
+                )(h, t_emb)
+                bo += 1
+
+        h = SparseLayerNorm(affine=False, name="out_norm")(h)
+        return SparseLinear(
+            self.out_channels, kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros, name="out_layer",
+        )(h)

@@ -1,0 +1,145 @@
+"""Dense attention library (reference: model/attention/{modules,full_attn}.py).
+
+TPU-native: one code path through `jax.nn.dot_product_attention`, which XLA
+lowers to a fused flash-style kernel on TPU — this replaces the reference's
+four-way backend dispatch (xformers/flash_attn/sdpa/naive,
+model/attention/full_attn.py:6-15). Layout is [B, L, H, Ch] throughout
+(matching flash-attn's convention, and MXU-friendly: Ch on lanes).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def scaled_dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """[B, Lq, H, C] x [B, Lk, H, C] -> [B, Lq, H, C]."""
+    return jax.nn.dot_product_attention(q, k, v, mask=mask)
+
+
+class MultiHeadRMSNorm(nn.Module):
+    """Per-head RMS norm on q/k (reference model/attention/modules.py:8-15):
+    unit-normalize over head dim, scale by learned gamma * sqrt(dim)."""
+
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        gamma = self.param("gamma", nn.initializers.ones, (self.heads, self.dim))
+        xf = x.astype(jnp.float32)
+        normed = xf * jax.lax.rsqrt(jnp.sum(xf * xf, axis=-1, keepdims=True) + 1e-12)
+        return (normed * gamma * (self.dim**0.5)).astype(x.dtype)
+
+
+class RotaryPositionEmbedder(nn.Module):
+    """RoPE over (up to 3-D) integer/float positions, applied per head.
+
+    Design follows reference model/attention/modules.py:18-61 but rotates per
+    head-channel (the reference computes channel-count phases, which only
+    broadcasts for a single head; we pad phases to head_dim//2 — the correct
+    per-head generalization). Parameter-free.
+    """
+
+    head_dim: int
+    in_channels: int = 3
+
+    def _phases(self, indices: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        freq_dim = self.head_dim // self.in_channels // 2
+        freqs = 1.0 / (
+            10000.0 ** (jnp.arange(freq_dim, dtype=jnp.float32) / freq_dim)
+        )
+        ang = indices.astype(jnp.float32)[..., None] * freqs  # [..., D, freq_dim]
+        ang = ang.reshape(*indices.shape[:-1], -1)  # [..., D*freq_dim]
+        pad = self.head_dim // 2 - ang.shape[-1]
+        if pad > 0:
+            ang = jnp.concatenate(
+                [ang, jnp.zeros(ang.shape[:-1] + (pad,), ang.dtype)], axis=-1
+            )
+        return jnp.cos(ang), jnp.sin(ang)
+
+    def __call__(self, q, k, indices: Optional[jnp.ndarray] = None):
+        """q, k: [B, L, H, Ch]; indices: [B, L, in_channels] positions."""
+        if indices is None:
+            idx = jnp.arange(q.shape[1], dtype=jnp.float32)[None, :, None]
+            indices = jnp.broadcast_to(idx, (q.shape[0], q.shape[1], 1))
+        cos, sin = self._phases(indices)  # [B, L, Ch//2]
+        cos = cos[:, :, None, :]  # broadcast over heads
+        sin = sin[:, :, None, :]
+
+        def rot(x):
+            xf = x.astype(jnp.float32)
+            x_even = xf[..., 0::2]
+            x_odd = xf[..., 1::2]
+            r_even = x_even * cos - x_odd * sin
+            r_odd = x_even * sin + x_odd * cos
+            out = jnp.stack([r_even, r_odd], axis=-1).reshape(x.shape)
+            return out.astype(x.dtype)
+
+        return rot(q), rot(k)
+
+
+class MultiHeadAttention(nn.Module):
+    """Self/cross multi-head attention (reference model/attention/modules.py:64).
+
+    attn_type: "self" packs qkv in one projection; "cross" projects q from x
+    and kv from context. Optional qk RMS-norm and RoPE on 3-D indices.
+    """
+
+    channels: int
+    num_heads: int
+    ctx_channels: Optional[int] = None
+    attn_type: str = "self"  # "self" | "cross"
+    qkv_bias: bool = True
+    use_rope: bool = False
+    qk_rms_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        indices: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        assert self.channels % self.num_heads == 0
+        head_dim = self.channels // self.num_heads
+        B, L, _ = x.shape
+
+        if self.attn_type == "self":
+            qkv = nn.Dense(
+                self.channels * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                name="to_qkv",
+            )(x)
+            qkv = qkv.reshape(B, L, 3, self.num_heads, head_dim)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            if self.use_rope:
+                q, k = RotaryPositionEmbedder(head_dim, name="rope")(q, k, indices)
+        else:
+            assert context is not None, "cross attention requires context"
+            Lk = context.shape[1]
+            q = nn.Dense(
+                self.channels, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q"
+            )(x).reshape(B, L, self.num_heads, head_dim)
+            kv = nn.Dense(
+                self.channels * 2, use_bias=self.qkv_bias, dtype=self.dtype,
+                name="to_kv",
+            )(context).reshape(B, Lk, 2, self.num_heads, head_dim)
+            k, v = kv[:, :, 0], kv[:, :, 1]
+
+        if self.qk_rms_norm:
+            q = MultiHeadRMSNorm(head_dim, self.num_heads, name="q_rms_norm")(q)
+            k = MultiHeadRMSNorm(head_dim, self.num_heads, name="k_rms_norm")(k)
+
+        h = scaled_dot_product_attention(q, k, v)
+        h = h.reshape(B, L, self.channels)
+        return nn.Dense(self.channels, dtype=self.dtype, name="to_out")(h)

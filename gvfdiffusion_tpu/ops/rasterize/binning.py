@@ -1,0 +1,103 @@
+"""Tile binning for 3DGS rasterization — static-shape TPU design.
+
+The CUDA rasterizers (diff-gaussian-rasterization, used by the reference at
+renderers/gaussian_render.py:105-143) build dynamic per-tile duplicate lists
+and sort by (tile, depth). Dynamic lists don't exist under XLA; instead each
+tile selects its top-K nearest (front-most) intersecting Gaussians with
+`top_k` over a masked depth key:
+
+  1. project all N Gaussians (render/reference_renderer.project_gaussians)
+  2. conservative screen-space radius = 3 * sqrt(max eigenvalue of cov2d)
+  3. tile x gaussian intersection test against each tile's pixel rect
+  4. per tile: top_k by (-depth where intersecting else -inf) -> [T, K]
+
+K caps per-tile blending work. Overflow beyond K drops the FARTHEST
+Gaussians (the ones most likely occluded anyway). Cost of the [T, N]
+intersection matrix is a couple of fused VPU ops per entry — negligible next
+to the blend.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class BinnedGaussians(NamedTuple):
+    """Per-tile gathered gaussian data, depth-sorted front-to-back."""
+
+    mean2d: jnp.ndarray   # [T, K, 2]
+    conic: jnp.ndarray    # [T, K, 3] (a, b, c) of inverse cov
+    color: jnp.ndarray    # [T, K, 3]
+    opacity: jnp.ndarray  # [T, K]
+    depth: jnp.ndarray    # [T, K]
+    mask: jnp.ndarray     # [T, K] bool — real entry
+    n_tiles_y: int
+    n_tiles_x: int
+    tile: int
+
+
+def compute_radius(cov2d: jnp.ndarray) -> jnp.ndarray:
+    """3-sigma radius from the larger eigenvalue of [N, 2, 2] covariances."""
+    mid = 0.5 * (cov2d[:, 0, 0] + cov2d[:, 1, 1])
+    det = cov2d[:, 0, 0] * cov2d[:, 1, 1] - cov2d[:, 0, 1] ** 2
+    lam1 = mid + jnp.sqrt(jnp.maximum(mid**2 - det, 0.1))
+    return jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)))
+
+
+def bin_gaussians(
+    mean2d: jnp.ndarray,    # [N, 2] px
+    cov2d: jnp.ndarray,     # [N, 2, 2]
+    colors: jnp.ndarray,    # [N, 3]
+    opacities: jnp.ndarray,  # [N]
+    depths: jnp.ndarray,    # [N]
+    valid: jnp.ndarray,     # [N]
+    height: int,
+    width: int,
+    tile: int = 32,
+    max_per_tile: int = 256,
+) -> BinnedGaussians:
+    n_ty = -(-height // tile)
+    n_tx = -(-width // tile)
+    n_tiles = n_ty * n_tx
+
+    det = cov2d[:, 0, 0] * cov2d[:, 1, 1] - cov2d[:, 0, 1] * cov2d[:, 1, 0]
+    det = jnp.maximum(det, 1e-12)
+    conic = jnp.stack(
+        [cov2d[:, 1, 1] / det, -cov2d[:, 0, 1] / det, cov2d[:, 0, 0] / det], -1
+    )
+    radius = compute_radius(cov2d)
+    ok = valid & (radius > 0) & (opacities > 1.0 / 255.0)
+
+    # tile rects
+    ty = jnp.arange(n_ty) * tile
+    tx = jnp.arange(n_tx) * tile
+    y0 = jnp.repeat(ty, n_tx)        # [T]
+    x0 = jnp.tile(tx, n_ty)          # [T]
+
+    # intersection: gaussian disc vs tile rect (conservative, per tile x N)
+    gx, gy = mean2d[:, 0], mean2d[:, 1]
+    nearest_x = jnp.clip(gx[None, :], x0[:, None], (x0 + tile)[:, None])
+    nearest_y = jnp.clip(gy[None, :], y0[:, None], (y0 + tile)[:, None])
+    d2 = (nearest_x - gx[None, :]) ** 2 + (nearest_y - gy[None, :]) ** 2
+    inter = (d2 <= (radius[None, :] ** 2)) & ok[None, :]  # [T, N]
+
+    # per-tile top-K front-most
+    max_per_tile = min(max_per_tile, mean2d.shape[0])
+    key = jnp.where(inter, -depths[None, :], -jnp.inf)
+    neg_depth, idx = jax.lax.top_k(key, max_per_tile)  # ascending depth order
+    mask = jnp.isfinite(neg_depth)
+    take = lambda a: jnp.take(a, idx, axis=0)
+    return BinnedGaussians(
+        mean2d=take(mean2d),
+        conic=take(conic),
+        color=take(colors),
+        opacity=jnp.where(mask, take(opacities), 0.0),
+        depth=take(depths),
+        mask=mask,
+        n_tiles_y=n_ty,
+        n_tiles_x=n_tx,
+        tile=tile,
+    )

@@ -1,0 +1,141 @@
+"""GaussianRenderer — the user-facing rendering API.
+
+Mirrors the reference's GaussianRenderer contract
+(renderers/gaussian_render.py:242-369: rendering_options near/far/bg_color/
+resolution/ssaa, mip toggle + 2D kernel size, delta_pc application with
+detach_static, random background for training) over three interchangeable
+backends:
+
+  "reference" — dense pure-jnp renderer (tests/small scenes; O(P*N) memory)
+  "binned"    — tile-binned XLA blend (TRAINING: differentiable, bounded memory)
+  "pallas"    — tile-binned Pallas kernel (INFERENCE fast path, forward-only)
+
+All three share the same projection math (reference_renderer.project_gaussians)
+so they agree numerically up to per-tile top-K truncation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..ops.rasterize.binning import bin_gaussians
+from ..ops.rasterize.xla_blend import blend_tiles
+from ..ops.sh import rgb_from_sh_dc
+from ..representations.camera import Camera
+from ..representations.gaussians import GaussianSplat
+from . import reference_renderer as rr
+
+
+@flax.struct.dataclass
+class RenderOptions:
+    near: float = flax.struct.field(pytree_node=False, default=0.8)
+    far: float = flax.struct.field(pytree_node=False, default=1.6)
+    bg_color: tuple = flax.struct.field(pytree_node=False, default=(1.0, 1.0, 1.0))
+    use_mip: bool = flax.struct.field(pytree_node=False, default=True)
+    kernel_size_2d: float = flax.struct.field(pytree_node=False, default=0.1)
+    ssaa: int = flax.struct.field(pytree_node=False, default=1)
+    backend: str = flax.struct.field(pytree_node=False, default="binned")
+    tile: int = flax.struct.field(pytree_node=False, default=32)
+    max_per_tile: int = flax.struct.field(pytree_node=False, default=256)
+
+
+class GaussianRenderer:
+    def __init__(self, options: Optional[RenderOptions] = None):
+        self.options = options or RenderOptions()
+
+    def render(
+        self,
+        gs: GaussianSplat,
+        camera: Camera,
+        delta: Optional[jnp.ndarray] = None,
+        detach_static: bool = False,
+        valid: Optional[jnp.ndarray] = None,
+        override_color: Optional[jnp.ndarray] = None,
+        bg_color: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """Render one splat set from one camera -> dict(render, depth, alpha).
+
+        `delta` [N, 14] applies the variation field
+        (Δxyz|Δscale|Δrot|ΔSH|Δopacity — reference gaussian_render.py:154-160).
+        """
+        opt = self.options
+        cam = camera.replace(
+            near=opt.near, far=opt.far,
+            height=camera.height * opt.ssaa, width=camera.width * opt.ssaa,
+        )
+        bg = jnp.asarray(
+            bg_color if bg_color is not None else opt.bg_color, jnp.float32
+        )
+
+        if opt.backend == "reference":
+            out = rr.render(
+                gs, cam, bg_color=bg, delta=delta, detach_static=detach_static,
+                valid=valid, mip=opt.use_mip, kernel_size_2d=(
+                    opt.kernel_size_2d if opt.use_mip else 0.3
+                ),
+                override_color=override_color,
+            )
+            return self._downsample(out, opt.ssaa)
+
+        if delta is not None:
+            attrs = gs.apply_variation(delta, detach_static=detach_static)
+            xyz, scaling, rotation = attrs["xyz"], attrs["scaling"], attrs["rotation"]
+            features, opacity = attrs["features"], attrs["opacity"]
+        else:
+            xyz, scaling, rotation = gs.get_xyz, gs.get_scaling, gs.get_rotation
+            features, opacity = gs.get_features, gs.get_opacity
+
+        proj = rr.project_gaussians(
+            xyz, scaling, rotation, cam,
+            kernel_size_2d=opt.kernel_size_2d if opt.use_mip else 0.3,
+            mip=opt.use_mip,
+        )
+        colors = (
+            rgb_from_sh_dc(features[..., 0, :])
+            if override_color is None else override_color
+        )
+        opac = opacity[..., 0] * proj["compensation"]
+        v = proj["in_front"]
+        if valid is not None:
+            v = jnp.logical_and(v, valid)
+
+        binned = bin_gaussians(
+            proj["mean2d"], proj["cov2d"], colors, opac, proj["depth"], v,
+            cam.height, cam.width, tile=opt.tile, max_per_tile=opt.max_per_tile,
+        )
+        if opt.backend == "pallas":
+            from ..ops.rasterize.pallas_kernel import rasterize_pallas
+
+            rgb, dep, acc = rasterize_pallas(binned, cam.height, cam.width, bg)
+        else:
+            rgb, dep, acc = blend_tiles(binned, cam.height, cam.width, bg)
+        return self._downsample(
+            {"render": rgb, "depth": dep, "alpha": acc}, opt.ssaa
+        )
+
+    @staticmethod
+    def _downsample(out: Dict[str, jnp.ndarray], ssaa: int):
+        if ssaa == 1:
+            return out
+        def ds(a):
+            c = a[..., None] if a.ndim == 2 else a
+            h, w = c.shape[0] // ssaa, c.shape[1] // ssaa
+            c = c.reshape(h, ssaa, w, ssaa, -1).mean(axis=(1, 3))
+            return c[..., 0] if a.ndim == 2 else c
+        return {k: ds(v) for k, v in out.items()}
+
+
+def render_multiview(
+    renderer: GaussianRenderer,
+    gs: GaussianSplat,
+    cameras,
+    delta: Optional[jnp.ndarray] = None,
+    **kw,
+):
+    """Render a list/stack of cameras; returns stacked dict."""
+    outs = [renderer.render(gs, cam, delta=delta, **kw) for cam in cameras]
+    return {k: jnp.stack([o[k] for o in outs]) for k in outs[0]}

@@ -1,0 +1,78 @@
+"""Submanifold sparse 3-D convolution — gather + matmul + accumulate.
+
+TPU-native replacement for spconv's SubMConv3d (reference
+sparse/conv/conv_spconv.py:6-44). Strategy (SURVEY.md §2.4): build a dense
+[R^3] slot-index grid per sample ONCE (int32, ~1 MB at 64^3), then for each of
+the K^3 kernel offsets gather the neighbor's features and hit the MXU with an
+[L, C_in] x [C_in, C_out] matmul. Output exists only at input voxels
+(submanifold), so structure is unchanged — no layout cache machinery needed.
+
+Cost: K^3 gathers + K^3 MXU matmuls; XLA fuses the accumulation chain.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .tensor import SparseVoxels
+
+
+def _neighbor_slots(x: SparseVoxels, grid: jnp.ndarray, offset) -> jnp.ndarray:
+    """Slot index of coords+offset per voxel ([B, L], -1 if absent)."""
+    r = x.resolution
+    nc = x.coords + jnp.asarray(offset, jnp.int32)
+    inb = jnp.all((nc >= 0) & (nc < r), axis=-1) & x.valid
+    flat = jnp.clip(nc[..., 0] * r * r + nc[..., 1] * r + nc[..., 2], 0, r**3 - 1)
+    slot = jnp.take_along_axis(grid, flat, axis=1)
+    return jnp.where(inb, slot, -1)
+
+
+def gather_neighbors(x: SparseVoxels, offset) -> jnp.ndarray:
+    """Features of the voxel at coords+offset for every voxel: [B, L, C]
+    (zeros where the neighbor doesn't exist)."""
+    slot = _neighbor_slots(x, x.index_grid(), offset)
+    f = jnp.take_along_axis(x.feats, jnp.maximum(slot, 0)[..., None], axis=1)
+    return f * (slot >= 0)[..., None].astype(f.dtype)
+
+
+class SparseConv3d(nn.Module):
+    """kernel_size^3 submanifold conv. Weight layout [K^3, C_in, C_out]."""
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: SparseVoxels) -> SparseVoxels:
+        k = self.kernel_size
+        c_in = x.channels
+        offsets = [
+            (i - k // 2, j - k // 2, l - k // 2)
+            for i in range(k) for j in range(k) for l in range(k)
+        ]
+        w = self.param(
+            "kernel", self.kernel_init, (len(offsets), c_in, self.features)
+        ).astype(self.dtype)
+        grid = x.index_grid()  # one dense index build for all offsets
+        out = jnp.zeros(x.feats.shape[:2] + (self.features,), jnp.float32)
+        for oi, off in enumerate(offsets):
+            if off == (0, 0, 0):
+                nf = x.feats.astype(self.dtype)
+            else:
+                slot = _neighbor_slots(x, grid, off)
+                nf = jnp.take_along_axis(
+                    x.feats, jnp.maximum(slot, 0)[..., None], axis=1
+                )
+                nf = (nf * (slot >= 0)[..., None].astype(nf.dtype)).astype(self.dtype)
+            out = out + jnp.einsum(
+                "blc,cf->blf", nf, w[oi], preferred_element_type=jnp.float32
+            )
+        out = out.astype(self.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + b.astype(self.dtype)
+        return x.replace_feats(out)

@@ -1,0 +1,72 @@
+"""Train state: params + optax optimizer + EMA.
+
+Replaces the reference's TrainLoop optimizer plumbing (train_latent.py:209-229:
+clip-grad-1.0 -> AdamW -> 1000-step linear warmup; EMA 0.9999 via
+model/nn.py:277 update_ema) with an optax chain inside one jitted step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Any
+
+
+def make_optimizer(
+    lr: float = 5e-5,
+    warmup_steps: int = 1000,
+    weight_decay: float = 0.0,
+    grad_clip: float = 1.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+) -> optax.GradientTransformation:
+    """clip(1.0) -> adamw(lr linear-warmup) (reference train_latent.py:93-105)."""
+    if warmup_steps > 0:
+        schedule = optax.linear_schedule(0.0, lr, warmup_steps)
+    else:
+        schedule = lr
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay),
+    )
+
+
+def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=params,
+    )
+
+
+def apply_updates(
+    state: TrainState,
+    grads,
+    tx: optax.GradientTransformation,
+    ema_rate: float = 0.9999,
+) -> TrainState:
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_ema = jax.tree.map(
+        lambda e, p: e * ema_rate + p * (1.0 - ema_rate),
+        state.ema_params,
+        new_params,
+    )
+    return TrainState(
+        step=state.step + 1,
+        params=new_params,
+        opt_state=new_opt_state,
+        ema_params=new_ema,
+    )

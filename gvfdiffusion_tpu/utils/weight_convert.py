@@ -1,0 +1,187 @@
+"""Torch-checkpoint -> flax-params conversion.
+
+Maps the reference's released torch state dicts (HF checkpoint names at
+utils/inference_utils.py:21-34: ema_diffusion_*.pt, ema_deformation_*.pt,
+ema_static_vae_*.pt; TRELLIS safetensors via trellis/models/__init__.py:78-97)
+onto this framework's flax parameter trees.
+
+Conventions:
+  torch Linear weight [out, in]  -> flax Dense kernel [in, out] (transpose)
+  torch LayerNorm weight/bias    -> flax scale/bias
+  torch Conv3d weight [o,i,k,k,k]-> flax Conv kernel [k,k,k,i,o]
+Name maps are per-model tables of (torch prefix regex -> flax path); the
+GVF->TRELLIS checkpoint surgery (`decoder.->blocks.`,
+`from_latent.->input_layer.`, reference trellis/models/__init__.py:46-76)
+is just another table entry.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def _t(w):
+    return np.asarray(w).T
+
+
+def _conv3d(w):
+    # [o, i, k, k, k] -> [k, k, k, i, o]
+    return np.transpose(np.asarray(w), (2, 3, 4, 1, 0))
+
+
+def _conv2d(w):
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def set_in(tree: Dict, path: List[str], value) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _linear(sd, torch_name, tree, flax_path):
+    set_in(tree, flax_path + ["kernel"], _t(sd[f"{torch_name}.weight"]))
+    if f"{torch_name}.bias" in sd:
+        set_in(tree, flax_path + ["bias"], np.asarray(sd[f"{torch_name}.bias"]))
+
+
+def _layernorm(sd, torch_name, tree, flax_path):
+    if f"{torch_name}.weight" in sd:
+        set_in(tree, flax_path + ["scale"], np.asarray(sd[f"{torch_name}.weight"]))
+    if f"{torch_name}.bias" in sd:
+        set_in(tree, flax_path + ["bias"], np.asarray(sd[f"{torch_name}.bias"]))
+
+
+def _mha(sd, tname, tree, fpath, is_self: bool, qk_rms: bool):
+    """reference model/attention/modules.py MultiHeadAttention."""
+    if is_self:
+        _linear(sd, f"{tname}.to_qkv", tree, fpath + ["to_qkv"])
+    else:
+        _linear(sd, f"{tname}.to_q", tree, fpath + ["to_q"])
+        _linear(sd, f"{tname}.to_kv", tree, fpath + ["to_kv"])
+    _linear(sd, f"{tname}.to_out", tree, fpath + ["to_out"])
+    if qk_rms:
+        for n in ("q_rms_norm", "k_rms_norm"):
+            key = f"{tname}.{n}.gamma"
+            if key in sd:
+                set_in(tree, fpath + [n, "gamma"], np.asarray(sd[key]))
+
+
+def convert_dit(state_dict: Dict[str, Any], num_blocks: int = 12,
+                qk_rms_norm: bool = True, no_temporal_attn: bool = False,
+                share_mod: bool = False) -> Dict:
+    """model/dit.py DiT state dict -> flax params {'params': ...}."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    p: Dict = {}
+    _linear(sd, "input_layer", p, ["input_layer"])
+    _linear(sd, "t_embedder.mlp.0", p, ["t_embedder", "mlp_0"])
+    _linear(sd, "t_embedder.mlp.2", p, ["t_embedder", "mlp_2"])
+    _linear(sd, "image_cond_proj", p, ["image_cond_proj"])
+    _linear(sd, "static_cond_proj", p, ["static_cond_proj"])
+    if share_mod:
+        _linear(sd, "adaLN_modulation.1", p, ["adaLN_modulation"])
+    if "pos_embedder" in {k.split(".")[0] for k in sd}:
+        if "pos_embedder" in sd:  # learnable pe is a bare parameter
+            p["pos_emb"] = np.asarray(sd["pos_embedder"])
+    for i in range(num_blocks):
+        b = f"blocks.{i}"
+        fp = [f"blocks_{i}"]
+        if not share_mod:
+            _linear(sd, f"{b}.adaLN_modulation.1", p, fp + ["adaLN_modulation"])
+            if not no_temporal_attn:
+                _linear(sd, f"{b}.adaLN_modulation_temporal.1", p,
+                        fp + ["adaLN_modulation_temporal"])
+        _layernorm(sd, f"{b}.norm3", p, fp + ["norm3"])
+        _layernorm(sd, f"{b}.norm4", p, fp + ["norm4"])
+        _mha(sd, f"{b}.spatial_self_attn", p, fp + ["spatial_self_attn"],
+             True, qk_rms_norm)
+        if not no_temporal_attn:
+            _mha(sd, f"{b}.temporal_self_attn", p, fp + ["temporal_self_attn"],
+                 True, qk_rms_norm)
+        _mha(sd, f"{b}.image_cross_attn", p, fp + ["image_cross_attn"], False, False)
+        _mha(sd, f"{b}.static_cross_attn", p, fp + ["static_cross_attn"], False, False)
+        _linear(sd, f"{b}.mlp.mlp.0", p, fp + ["mlp", "mlp_0"])
+        _linear(sd, f"{b}.mlp.mlp.2", p, fp + ["mlp", "mlp_2"])
+    _linear(sd, "final_layer.adaLN_modulation.1", p, ["final_layer", "adaLN_modulation"])
+    _linear(sd, "final_layer.linear", p, ["final_layer", "linear"])
+    return {"params": p}
+
+
+def convert_motion_vae(state_dict: Dict[str, Any], depth: int = 12) -> Dict:
+    """model/autoencoder.py GSKLTemporalVariationalAutoEncoder -> flax."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    p: Dict = {}
+    _linear(sd, "input_embedding.0", p, ["input_embedding"])
+    _linear(sd, "gs_embedding.0", p, ["gs_embedding"])
+    # encoder cross block: cross_attend_blocks.0 = PreNorm(Attention),
+    # .1 = PreNorm(FeedForward)
+    _linear(sd, "cross_attend_blocks.0.fn.to_q", p, ["enc_cross", "to_q"])
+    _linear(sd, "cross_attend_blocks.0.fn.to_kv", p, ["enc_cross", "to_kv"])
+    _linear(sd, "cross_attend_blocks.0.fn.to_out", p, ["enc_cross", "to_out"])
+    _linear(sd, "cross_attend_blocks.1.fn.net.0", p, ["enc_ff", "net_0"])
+    _linear(sd, "cross_attend_blocks.1.fn.net.2", p, ["enc_ff", "net_2"])
+    _linear(sd, "mean_fc", p, ["mean_fc"])
+    _linear(sd, "logvar_fc", p, ["logvar_fc"])
+    _linear(sd, "proj", p, ["proj"])
+    for i in range(depth):
+        _linear(sd, f"layers.{i}.0.fn.to_q", p, [f"latent_attn_{i}", "to_q"])
+        _linear(sd, f"layers.{i}.0.fn.to_kv", p, [f"latent_attn_{i}", "to_kv"])
+        _linear(sd, f"layers.{i}.0.fn.to_out", p, [f"latent_attn_{i}", "to_out"])
+        _linear(sd, f"layers.{i}.1.fn.net.0", p, [f"latent_ff_{i}", "net_0"])
+        _linear(sd, f"layers.{i}.1.fn.net.2", p, [f"latent_ff_{i}", "net_2"])
+    _linear(sd, "decoder_cross_attn.fn.to_q", p, ["dec_cross", "to_q"])
+    _linear(sd, "decoder_cross_attn.fn.to_kv", p, ["dec_cross", "to_kv"])
+    _linear(sd, "decoder_cross_attn.fn.to_out", p, ["dec_cross", "to_out"])
+    _linear(sd, "to_outputs", p, ["to_outputs"])
+    return {"params": p}
+
+
+def convert_static_vae(state_dict: Dict[str, Any], num_blocks: int = 12) -> Dict:
+    """model/sparse_voxel_diffusion/sparse_transformer_vae.py -> flax.
+
+    Note flax submodule paths: SparseLinear wraps a Dense named Dense_0.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    p: Dict = {}
+
+    def slinear(tname, fpath):
+        _linear(sd, tname, p, fpath + ["Dense_0"])
+
+    slinear("input_layer", ["input_layer"])
+    slinear("to_latent", ["to_latent"])
+    slinear("from_latent", ["from_latent"])
+    slinear("out_layer", ["out_layer"])
+    for prefix, fprefix in (("encoder", "enc"), ("decoder", "dec")):
+        for i in range(num_blocks):
+            b = f"{prefix}.{i}"
+            fp = [f"{fprefix}_{i}"]
+            _mha(sd, f"{b}.attn", p, fp + ["attn"], True, False)
+            slinear(f"{b}.mlp.mlp.0", fp + ["mlp", "mlp_0"])
+            slinear(f"{b}.mlp.mlp.2", fp + ["mlp", "mlp_2"])
+    return {"params": p}
+
+
+def strip_prefix(state_dict: Dict[str, Any], prefix: str = "module.") -> Dict[str, Any]:
+    """Remove DDP 'module.' prefixes (reference main_latent.py:29-33)."""
+    return {
+        (k[len(prefix):] if k.startswith(prefix) else k): v
+        for k, v in state_dict.items()
+    }
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch .pt/.safetensors state dict as numpy (torch-cpu IO)."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in strip_prefix(sd).items()}

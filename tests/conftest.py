@@ -1,0 +1,27 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Multi-chip sharding tests run on a virtual mesh (the TPU-native equivalent of
+"test multi-node without a cluster" — SURVEY.md §4).
+
+NOTE: this image ships an `axon` PJRT plugin whose sitecustomize pins
+JAX_PLATFORMS=axon (one tunneled TPU chip); plain env overrides are ignored,
+so we must ALSO set jax.config after import.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.device_count() >= 8, (
+    f"expected 8 virtual CPU devices, got {jax.device_count()} on "
+    f"{jax.devices()[0].platform}"
+)

@@ -1,0 +1,112 @@
+"""Training step + multi-device DP sharding tests (8-device virtual CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvfdiffusion_tpu.diffusion.gaussian_diffusion import create_diffusion
+from gvfdiffusion_tpu.models.dit import DiT
+from gvfdiffusion_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from gvfdiffusion_tpu.train.diffusion_trainer import make_train_step
+from gvfdiffusion_tpu.train.train_state import (
+    apply_updates, create_train_state, make_optimizer,
+)
+
+
+def tiny_setup(B=4):
+    model = DiT(
+        resolution=8, in_channels=4, model_channels=32,
+        static_cond_channels=14, image_cond_channels=16, out_channels=4,
+        num_blocks=2, num_heads=4, pe_mode="ape", qk_rms_norm=True,
+    )
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 6)
+    batch = dict(
+        latent=jax.random.normal(ks[0], (B, 2, 8, 4)),
+        cond_images=jax.random.normal(ks[1], (B, 2, 5, 16)),
+        static_latent=jax.random.normal(ks[2], (B, 8, 14)),
+        positions=jax.random.uniform(ks[3], (B, 8, 3)),
+    )
+    params = model.init(
+        ks[4], batch["latent"], jnp.zeros((B,)), batch["cond_images"],
+        batch["static_latent"], batch["positions"],
+    )
+    diffusion = create_diffusion(schedule="cosine", steps=50, mean_type="v")
+    tx = make_optimizer(lr=1e-3, warmup_steps=5)
+    state = create_train_state(params, tx)
+    step_fn = make_train_step(model.apply, diffusion, tx)
+    return model, state, batch, step_fn, ks[5], tx
+
+
+def test_train_step_decreases_loss():
+    _, state, batch, step_fn, rng, _ = tiny_setup()
+    step_fn = jax.jit(step_fn)
+    losses = []
+    for i in range(12):
+        state, metrics = step_fn(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 12
+    assert np.isfinite(losses).all()
+    assert min(losses[6:]) < losses[0]  # optimizing the same batch
+
+
+def test_ema_tracks_params():
+    _, state, batch, step_fn, rng, _ = tiny_setup()
+    step_fn = jax.jit(step_fn)
+    s1, _ = step_fn(state, batch, rng)
+    # ema moved a tiny bit toward new params (rate 0.9999)
+    p0 = jax.tree.leaves(state.params)[0]
+    e1 = jax.tree.leaves(s1.ema_params)[0]
+    p1 = jax.tree.leaves(s1.params)[0]
+    expect = np.asarray(p0) * 0.9999 + np.asarray(p1) * 0.0001
+    np.testing.assert_allclose(np.asarray(e1), expect, atol=1e-6)
+
+
+def test_warmup_schedule():
+    tx = make_optimizer(lr=1.0, warmup_steps=10, grad_clip=1e9)
+    params = {"w": jnp.ones((4,))}
+    state = tx.init(params)
+    grads = {"w": jnp.full((4,), 1e-3)}
+    # first step: lr ~ 0 -> negligible update
+    updates, state = tx.update(grads, state, params)
+    assert np.abs(np.asarray(updates["w"])).max() < 1e-6
+
+
+def test_grad_clipping():
+    tx = make_optimizer(lr=1.0, warmup_steps=0, grad_clip=1.0)
+    params = {"w": jnp.ones((4,))}
+    state = tx.init(params)
+    huge = {"w": jnp.full((4,), 1e6)}
+    updates, _ = tx.update(huge, state, params)
+    # clipped global norm to 1 before adam; update bounded by lr
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_multichip_dp_matches_single_device():
+    assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+    _, state, batch, step_fn, rng, _ = tiny_setup(B=8)
+
+    # single device
+    s_single, m_single = jax.jit(step_fn)(state, batch, rng)
+
+    # 8-way DP
+    mesh = make_mesh(8, axes=("data",))
+    with mesh:
+        state_r = replicate(state, mesh)
+        batch_s = shard_batch(batch, mesh)
+        s_dp, m_dp = jax.jit(step_fn)(state_r, batch_s, rng)
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_dp["loss"]), rtol=1e-5
+    )
+    # params identical after one step regardless of sharding
+    for a, b in zip(jax.tree.leaves(s_single.params), jax.tree.leaves(s_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_graft_entry_dryrun():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

@@ -1,0 +1,185 @@
+"""Kernel micro-benchmarks.
+
+Mirrors the reference's vox2seq/benchmark.py (CUDA-vs-PyTorch timing table at
+resolutions 16-256) and extends it to every hot kernel: curves (native C++ vs
+jnp), sparse attention modes, rasterizer backends, DiT block step. Run:
+
+  python benchmarks/microbench.py [--device tpu|cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timeit(fn, iters=10, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_curves():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gvfdiffusion_tpu import native
+    from gvfdiffusion_tpu.ops import curves
+
+    print("\n== curves: encode N random coords (ms) ==")
+    print(f"{'N':>10} {'jnp-z':>10} {'native-z':>10} {'jnp-h':>10} {'native-h':>10}")
+    for n in (4096, 65536, 262144):
+        rng = np.random.default_rng(0)
+        coords = rng.integers(0, 1024, (n, 3)).astype(np.int32)
+        cj = jnp.asarray(coords)
+        t_jz = timeit(lambda: curves.z_order_encode(cj[:, 0], cj[:, 1], cj[:, 2]))
+        t_jh = timeit(lambda: curves.hilbert_encode(cj[:, 0], cj[:, 1], cj[:, 2]))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            native.z_order_encode(coords)
+        t_nz = (time.perf_counter() - t0) / 10
+        t0 = time.perf_counter()
+        for _ in range(10):
+            native.hilbert_encode(coords)
+        t_nh = (time.perf_counter() - t0) / 10
+        print(f"{n:>10} {t_jz*1e3:>10.3f} {t_nz*1e3:>10.3f} "
+              f"{t_jh*1e3:>10.3f} {t_nh*1e3:>10.3f}")
+
+
+def bench_attention():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gvfdiffusion_tpu.sparse import attention as sa
+    from gvfdiffusion_tpu.sparse.tensor import SparseVoxels
+
+    print("\n== sparse attention (ms, B=1 H=12 D=64) ==")
+    print(f"{'L':>8} {'full':>10} {'windowed':>10} {'serialized':>12}")
+    for l in (4096, 16384):
+        res = 64
+        rng = np.random.default_rng(0)
+        lin = rng.choice(res**3, l, replace=False)
+        coords = np.stack([lin // res**2, (lin // res) % res, lin % res], -1)
+        x = SparseVoxels(
+            feats=jnp.zeros((1, l, 768)),
+            coords=jnp.asarray(coords[None], jnp.int32),
+            valid=jnp.ones((1, l), bool),
+            resolution=res,
+        )
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, l, 12, 64))
+        f_full = jax.jit(lambda q: sa.full_sparse_attention(q, q, q, x.valid, x.valid))
+        f_win = jax.jit(
+            lambda q: sa.windowed_sparse_attention(q, q, q, x, window_size=8)
+        )
+        f_ser = jax.jit(
+            lambda q: sa.serialized_sparse_attention(q, q, q, x, window_tokens=512)
+        )
+        t_f = timeit(lambda: f_full(q), iters=3)
+        t_w = timeit(lambda: f_win(q), iters=3)
+        t_s = timeit(lambda: f_ser(q), iters=3)
+        print(f"{l:>8} {t_f*1e3:>10.1f} {t_w*1e3:>10.1f} {t_s*1e3:>12.1f}")
+
+
+def bench_rasterizer():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gvfdiffusion_tpu.render.renderer import GaussianRenderer, RenderOptions
+    from gvfdiffusion_tpu.representations.camera import orbit_camera
+    from gvfdiffusion_tpu.representations.gaussians import from_activated
+
+    print("\n== rasterizer 512^2 (ms/frame) ==")
+    rng = np.random.default_rng(0)
+    for n in (16384, 65536):
+        act = np.concatenate(
+            [
+                rng.uniform(-0.3, 0.3, (n, 3)),
+                rng.uniform(0.002, 0.01, (n, 3)),
+                np.tile([1.0, 0, 0, 0], (n, 1)),
+                rng.uniform(-1, 1, (n, 3)),
+                rng.uniform(0.3, 0.9, (n, 1)),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        gs = from_activated(jnp.asarray(act))
+        cam = orbit_camera(30.0, 20.0, radius=2.0, height=512, width=512)
+        row = [f"{n:>8}"]
+        for backend in ("binned", "pallas"):
+            try:
+                r = GaussianRenderer(RenderOptions(
+                    near=0.1, far=10.0, use_mip=True, backend=backend,
+                    max_per_tile=256,
+                ))
+                f = jax.jit(lambda: r.render(gs, cam)["render"])
+                t = timeit(f, iters=5)
+                row.append(f"{backend}={t*1e3:.1f}ms ({1/t:.0f} fps)")
+            except Exception as e:
+                row.append(f"{backend}=ERR({type(e).__name__})")
+        print(" ".join(row))
+
+
+def bench_dit_step():
+    import jax
+    import jax.numpy as jnp
+
+    from gvfdiffusion_tpu.diffusion.gaussian_diffusion import create_diffusion
+    from gvfdiffusion_tpu.models.dit import DiT
+    from gvfdiffusion_tpu.train.diffusion_trainer import make_train_step
+    from gvfdiffusion_tpu.train.train_state import create_train_state, make_optimizer
+
+    print("\n== DiT train step (full size, batch 2) ==")
+    model = DiT()
+    B, T, N, L = 2, 24, 512, 1370
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    batch = dict(
+        latent=jax.random.normal(ks[0], (B, T, N, 16)),
+        cond_images=jax.random.normal(ks[1], (B, T, L, 1024)),
+        static_latent=jax.random.normal(ks[2], (B, N, 14)),
+        positions=jax.random.uniform(ks[3], (B, N, 3)),
+    )
+    params = model.init(
+        ks[4], batch["latent"], jnp.zeros((B,)), batch["cond_images"],
+        batch["static_latent"], batch["positions"],
+    )
+    diffusion = create_diffusion()
+    tx = make_optimizer()
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(model.apply, diffusion, tx))
+    t = timeit(lambda: step(state, batch, ks[5])[1]["loss"], iters=3, warmup=1)
+    print(f"batch {B} x {T} frames: {t*1e3:.0f} ms/step")
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
+    p.add_argument("--only", default=None,
+                   choices=[None, "curves", "attention", "rasterizer", "dit"])
+    args = p.parse_args()
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    print(f"devices: {jax.devices()}")
+    if args.only in (None, "curves"):
+        bench_curves()
+    if args.only in (None, "attention"):
+        bench_attention()
+    if args.only in (None, "rasterizer"):
+        bench_rasterizer()
+    if args.only in (None, "dit"):
+        bench_dit_step()

@@ -1,0 +1,169 @@
+"""Pipeline smoke tests: TRELLIS image->3D (tiny models) and video->4D."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvfdiffusion_tpu.models.dinov2 import DinoV2
+from gvfdiffusion_tpu.models.dit import DiT
+from gvfdiffusion_tpu.models.motion_vae import MotionVAE, pad_static_gs
+from gvfdiffusion_tpu.models.trellis.slat_decoders import SLatGaussianDecoder
+from gvfdiffusion_tpu.models.trellis.slat_flow import SLatFlowModel
+from gvfdiffusion_tpu.models.trellis.ss_flow import SparseStructureFlowModel
+from gvfdiffusion_tpu.models.trellis.ss_vae import SparseStructureDecoder
+from gvfdiffusion_tpu.pipelines.trellis_image_to_3d import (
+    TrellisConfig, TrellisImageTo3DPipeline,
+)
+from gvfdiffusion_tpu.pipelines.video_to_4d import VideoTo4DConfig, VideoTo4DPipeline
+
+
+def test_trellis_pipeline_tiny_end_to_end():
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 8)
+
+    dinov2 = DinoV2(img_size=28, patch_size=14, embed_dim=32, depth=1,
+                    num_heads=4, num_register_tokens=2)
+    img = jax.random.uniform(ks[0], (1, 28, 28, 3))
+    dinov2_p = dinov2.init(ks[1], img)
+
+    ss_flow = SparseStructureFlowModel(
+        resolution=8, in_channels=4, model_channels=32, cond_channels=32,
+        out_channels=4, num_blocks=1, num_heads=4, patch_size=2,
+    )
+    ss_flow_p = ss_flow.init(
+        ks[2], jnp.zeros((1, 8, 8, 8, 4)), jnp.zeros((1,)),
+        jnp.zeros((1, 7, 32)),
+    )
+
+    ss_dec = SparseStructureDecoder(out_channels=1, latent_channels=4,
+                                    num_res_blocks=1, channels=(16, 8))
+    ss_dec_p = ss_dec.init(ks[3], jnp.zeros((1, 8, 8, 8, 4)))
+
+    slat_flow = SLatFlowModel(
+        resolution=16, in_channels=4, model_channels=32, cond_channels=32,
+        out_channels=4, num_blocks=1, num_heads=4, patch_size=2,
+        num_io_res_blocks=2, io_block_channels=(16,),
+    )
+    from gvfdiffusion_tpu.sparse.tensor import from_lists
+
+    dummy_sv = from_lists(
+        [np.array([[1, 1, 1], [2, 2, 2]])],
+        [np.zeros((2, 4), np.float32)], resolution=16, capacity=64,
+    )
+    slat_flow_p = slat_flow.init(
+        ks[4], dummy_sv, jnp.zeros((1,)), jnp.zeros((1, 7, 32))
+    )
+
+    slat_dec = SLatGaussianDecoder(
+        resolution=16, model_channels=32, latent_channels=4, num_blocks=1,
+        num_heads=4, window_size=4,
+    )
+    slat_dec_p = slat_dec.init(ks[5], dummy_sv)
+
+    pipe = TrellisImageTo3DPipeline(
+        dinov2, dinov2_p, ss_flow, ss_flow_p, ss_dec, ss_dec_p,
+        slat_flow, slat_flow_p, slat_dec, slat_dec_p,
+        TrellisConfig(ss_steps=2, slat_steps=2, ss_resolution=8,
+                      grid_resolution=16, voxel_capacity=64),
+    )
+
+    # preprocessing: RGBA with a centered square object
+    img_np = np.zeros((40, 40, 4), np.float32)
+    img_np[10:30, 10:30, :3] = 0.5
+    img_np[10:30, 10:30, 3] = 1.0
+    pre = pipe.preprocess_image(img_np)
+    assert pre.shape == (518, 518, 3)
+
+    cond = pipe.encode_image(jax.image.resize(jnp.asarray(pre), (28, 28, 3), "bilinear")[None])
+    assert cond.shape[0] == 1 and cond.shape[2] == 32
+
+    structure = pipe.sample_sparse_structure(cond, ks[6])
+    assert structure.resolution == 16
+
+    slat = pipe.sample_slat(structure, cond, ks[7])
+    assert slat.feats.shape[-1] == 4
+
+    gs, valid = pipe.decode_slat(slat)
+    assert gs._xyz.shape[1] == 64 * 8
+    assert np.isfinite(np.asarray(gs._xyz)).all()
+
+
+def test_video_to_4d_pipeline_run():
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 6)
+    B, T, G, N_lat, C_lat, L = 1, 2, 32, 8, 4, 5
+
+    dit = DiT(
+        resolution=N_lat, in_channels=C_lat, model_channels=32,
+        static_cond_channels=14, image_cond_channels=16, out_channels=C_lat,
+        num_blocks=1, num_heads=4, pe_mode="ape", qk_rms_norm=True,
+    )
+    vae = MotionVAE(depth=1, dim=48, queries_dim=48, output_dim=14,
+                    num_inputs=G, num_latents=N_lat, latent_dim=C_lat,
+                    heads=4, knn_k=4)
+
+    gs_act = np.random.default_rng(0).normal(size=(G, 14)).astype(np.float32)
+    static_gs, valid = pad_static_gs([gs_act])
+    cond_images = jax.random.normal(ks[0], (B, T, L, 16))
+
+    dit_p = dit.init(
+        ks[1], jnp.zeros((B, T, N_lat, C_lat)), jnp.zeros((B,)),
+        cond_images, static_gs[:, :N_lat], static_gs[:, :N_lat, :3],
+    )
+    vae_p = vae.init(
+        ks[2], static_gs, valid, static_gs[..., :3],
+        jnp.zeros((B, T, G, 3)), ks[3],
+    )
+
+    pipe = VideoTo4DPipeline(
+        dit, dit_p, vae, vae_p,
+        VideoTo4DConfig(steps=4, order=2, num_frames=T, num_latents=N_lat,
+                        latent_dim=C_lat),
+    )
+    out = pipe.run(static_gs, valid, cond_images, ks[4])
+    assert out["latent"].shape == (B, T, N_lat, C_lat)
+    assert out["deltas"].shape == (B, T, G, 14)
+    assert out["anchors"].shape == (B, N_lat, 14)
+    assert np.isfinite(np.asarray(out["latent"])).all()
+
+
+def test_inference_utils_alignment():
+    from gvfdiffusion_tpu.render.renderer import GaussianRenderer, RenderOptions
+    from gvfdiffusion_tpu.representations.gaussians import from_activated
+    from gvfdiffusion_tpu.utils.inference_utils import (
+        align_gaussian_to_canonical, rotate_gaussians_z, sample_gs,
+    )
+
+    # asymmetric object: two blobs offset in +x
+    act = np.zeros((2, 14), np.float32)
+    act[:, 0] = [0.15, 0.25]
+    act[:, 3:6] = 0.04
+    act[:, 6] = 1.0
+    act[:, 10:13] = [[1.0, -1.0, -1.0]] * 2  # red-ish
+    act[:, 13] = 0.95
+    gs = from_activated(jnp.asarray(act))
+
+    renderer = GaussianRenderer(RenderOptions(
+        near=0.1, far=10.0, bg_color=(1.0, 1.0, 1.0), use_mip=False,
+        backend="binned", max_per_tile=8,
+    ))
+    cam_kwargs = dict(radius=1.5, fov_deg=45.0)
+    from gvfdiffusion_tpu.representations.camera import orbit_camera
+
+    # target = object rotated by 90 degrees
+    true_angle = np.pi / 2
+    gt = rotate_gaussians_z(gs, jnp.float32(true_angle))
+    cam = orbit_camera(0.0, 0.0, height=32, width=32, **cam_kwargs)
+    target = renderer.render(gt, cam)["render"]
+
+    aligned, angle, scale = align_gaussian_to_canonical(
+        gs, target, n_angles=16, renderer=renderer, camera_kwargs=cam_kwargs,
+    )
+    # found angle within one grid step of the truth
+    step = 2 * np.pi / 16
+    diff = abs(((angle - true_angle) + np.pi) % (2 * np.pi) - np.pi)
+    assert diff <= step + 1e-6
+
+    # sample_gs picks a subset
+    sub = sample_gs(jnp.asarray(act)[None], jnp.ones((1, 2), bool), 1)
+    assert sub.shape == (1, 1, 14)

@@ -12,9 +12,18 @@ denoise fits the end-to-end budget with headroom.
 """
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compilation cache: the axon-tunnel TPU compiles slowly, so the
+# first bench run seeds this cache and later runs (e.g. the driver's) are fast
+_CACHE = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 

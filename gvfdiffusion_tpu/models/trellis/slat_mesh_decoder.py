@@ -1,0 +1,112 @@
+"""SLat -> mesh decoder.
+
+Capability re-design of trellis/models/structured_latent_vae/decoder_mesh.py:71
+(SLatMeshDecoder: sparse transformer torso + subdivide upsampling +
+FlexiCubes extraction): here the torso predicts per-voxel SDF corner values +
+corner deformations on a subdivided grid, and ops/marching_tets.py extracts
+the surface (DMTet-style — same differentiable mesh-from-features capability,
+TPU-static shapes; documented deviation from FlexiCubes).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.marching_tets import marching_tets_dense
+from ...sparse.ops import SparseLayerNorm, SparseLinear, sparse_subdivide
+from ...sparse.tensor import SparseVoxels
+from .slat_decoders import SparseTransformerBase
+
+
+class SLatMeshDecoder(nn.Module):
+    """Per-voxel 8 SDF corner values + 8x3 corner deformations."""
+
+    resolution: int = 64
+    model_channels: int = 768
+    latent_channels: int = 8
+    num_blocks: int = 12
+    num_heads: Optional[int] = None
+    mlp_ratio: float = 4.0
+    attn_mode: str = "swin"
+    window_size: int = 8
+    pe_mode: str = "ape"
+    qk_rms_norm: bool = False
+    use_subdivide: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: SparseVoxels):
+        """Returns (sdf_grid [B, R+1,R+1,R+1], deform_grid [B, R+1,R+1,R+1,3])
+        ready for marching_tets_dense; R is the (possibly subdivided) res."""
+        h = SparseTransformerBase(
+            in_channels=self.latent_channels,
+            model_channels=self.model_channels,
+            num_blocks=self.num_blocks,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            attn_mode=self.attn_mode,
+            window_size=self.window_size,
+            pe_mode=self.pe_mode,
+            qk_rms_norm=self.qk_rms_norm,
+            dtype=self.dtype,
+            name="torso",
+        )(x)
+        if self.use_subdivide:
+            h = SparseLinear(self.model_channels // 4, dtype=self.dtype,
+                             name="pre_subdivide")(h)
+            h = sparse_subdivide(h)
+        h = SparseLayerNorm(affine=False, name="out_norm")(h)
+        # 8 corners x (1 sdf + 3 deform)
+        out = SparseLinear(8 * 4, kernel_init=nn.initializers.zeros,
+                           bias_init=nn.initializers.zeros, name="out_layer")(h)
+
+        b, l, _ = out.feats.shape
+        res = h.resolution
+        vals = out.feats.reshape(b, l, 8, 4)
+        sdf_c = vals[..., 0] - 0.1  # bias: empty space is outside
+        deform_c = jnp.tanh(vals[..., 1:]) * 0.5
+
+        # scatter corner values onto the (R+1)^3 grid (mean over contributors)
+        corner_off = jnp.asarray(
+            [[(i >> 0) & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)],
+            jnp.int32,
+        )
+        cpos = h.coords[:, :, None, :] + corner_off[None, None]  # [B, L, 8, 3]
+        flat = (
+            cpos[..., 0] * (res + 1) ** 2 + cpos[..., 1] * (res + 1) + cpos[..., 2]
+        )
+        flat = jnp.where(h.valid[..., None], flat, (res + 1) ** 3)
+
+        def scatter(vals_b, flat_b):
+            num = (res + 1) ** 3 + 1
+            s = jnp.zeros((num,) + vals_b.shape[2:], vals_b.dtype)
+            cnt = jnp.zeros((num,), vals_b.dtype)
+            s = s.at[flat_b.reshape(-1)].add(vals_b.reshape(-1, *vals_b.shape[2:]))
+            cnt = cnt.at[flat_b.reshape(-1)].add(1.0)
+            mean = s / jnp.maximum(cnt, 1.0).reshape((-1,) + (1,) * (s.ndim - 1))
+            return mean[:-1], cnt[:-1] > 0
+
+        sdf_grid, occ = jax.vmap(scatter)(sdf_c, flat)
+        deform_grid, _ = jax.vmap(scatter)(deform_c, flat)
+        # corners never touched by any voxel: far outside
+        sdf_grid = jnp.where(occ, sdf_grid, 1.0)
+        n = res + 1
+        return (
+            sdf_grid.reshape(b, n, n, n),
+            deform_grid.reshape(b, n, n, n, 3),
+            res,
+        )
+
+
+def extract_mesh(sdf_grid, deform_grid, grid_scale: float = 1.0):
+    """Batch helper: marching tets per sample -> list of padded meshes."""
+    out = []
+    for b in range(sdf_grid.shape[0]):
+        out.append(
+            marching_tets_dense(sdf_grid[b], deform_grid[b], grid_scale)
+        )
+    return out

@@ -1,0 +1,92 @@
+"""Volume ray-marching renderer for radiance-field representations.
+
+Capability re-design of the reference's octree/TensoRF render paths
+(trellis/renderers/octree_renderer.py:165 over diffoctreerast; the vestigial
+renderers/pytorch_renderer CUDA ray-marcher): fixed-step ray marching with
+alpha compositing, evaluated against any field function
+`field(points [P,3]) -> (density [P], color [P,3])`. Static step count,
+vmapped over pixels, chunked with lax.map — XLA-friendly and differentiable.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..representations.camera import Camera
+
+
+def ray_grid(camera: Camera) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (origins [P,3], directions [P,3]) for every pixel."""
+    h, w = camera.height, camera.width
+    xs = (jnp.arange(w) + 0.5) / w
+    ys = (jnp.arange(h) + 0.5) / h
+    gx, gy = jnp.meshgrid(xs, ys)
+    fx, fy = camera.intrinsics[0, 0], camera.intrinsics[1, 1]
+    cx, cy = camera.intrinsics[0, 2], camera.intrinsics[1, 2]
+    dirs_cam = jnp.stack(
+        [(gx - cx) / fx, (gy - cy) / fy, jnp.ones_like(gx)], -1
+    ).reshape(-1, 3)
+    c2w = jnp.linalg.inv(camera.world_view)
+    dirs = dirs_cam @ c2w[:3, :3].T
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = jnp.broadcast_to(c2w[:3, 3], dirs.shape)
+    return origins, dirs
+
+
+def render_volume(
+    field: Callable,
+    camera: Camera,
+    num_steps: int = 128,
+    t_near: float = 0.2,
+    t_far: float = 3.0,
+    bg_color=(1.0, 1.0, 1.0),
+    step_chunk: int = 4096,
+) -> Dict[str, jnp.ndarray]:
+    """March `num_steps` samples per ray through `field`; composite.
+
+    density is interpreted per unit length (sigma); alpha_i = 1 - exp(-sigma dt).
+    """
+    h, w = camera.height, camera.width
+    origins, dirs = ray_grid(camera)
+    ts = jnp.linspace(t_near, t_far, num_steps)
+    dt = (t_far - t_near) / num_steps
+    bg = jnp.asarray(bg_color, jnp.float32)
+
+    def ray_chunk(args):
+        o, d = args  # [C, 3] each
+
+        def step(carry, t):
+            trans, rgb, depth_acc = carry
+            pts = o + t * d
+            sigma, color = field(pts)
+            alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dt)
+            wgt = trans * alpha
+            rgb = rgb + wgt[:, None] * color
+            depth_acc = depth_acc + wgt * t
+            trans = trans * (1.0 - alpha)
+            return (trans, rgb, depth_acc), None
+
+        n = o.shape[0]
+        init = (jnp.ones(n), jnp.zeros((n, 3)), jnp.zeros(n))
+        (trans, rgb, depth_acc), _ = jax.lax.scan(step, init, ts)
+        acc = 1.0 - trans
+        rgb = rgb + trans[:, None] * bg
+        return rgb, depth_acc, acc
+
+    p = origins.shape[0]
+    pad = (-p) % step_chunk
+    if pad:
+        origins = jnp.concatenate([origins, jnp.zeros((pad, 3))])
+        dirs = jnp.concatenate([dirs, jnp.ones((pad, 3))])
+    nb = origins.shape[0] // step_chunk
+    rgb, depth, acc = jax.lax.map(
+        ray_chunk,
+        (origins.reshape(nb, step_chunk, 3), dirs.reshape(nb, step_chunk, 3)),
+    )
+    rgb = rgb.reshape(-1, 3)[:p].reshape(h, w, 3)
+    depth = depth.reshape(-1)[:p].reshape(h, w)
+    acc = acc.reshape(-1)[:p].reshape(h, w)
+    return {"render": rgb, "depth": depth, "alpha": acc}

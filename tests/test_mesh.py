@@ -1,0 +1,104 @@
+"""Mesh stack tests: marching tets on analytic SDFs, mesh renderer, SLat
+mesh decoder."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvfdiffusion_tpu.ops.marching_tets import (
+    face_normals, marching_tets_dense, weld_mesh,
+)
+from gvfdiffusion_tpu.render.mesh_renderer import render_mesh
+from gvfdiffusion_tpu.representations.camera import Camera, fov_intrinsics, lookat_extrinsics
+
+
+def sphere_sdf(r_grid, center, radius):
+    g = np.arange(r_grid + 1) / r_grid
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    return (
+        np.sqrt((x - center[0]) ** 2 + (y - center[1]) ** 2 + (z - center[2]) ** 2)
+        - radius
+    ).astype(np.float32)
+
+
+def test_marching_tets_sphere():
+    sdf = jnp.asarray(sphere_sdf(16, (0.5, 0.5, 0.5), 0.3))
+    verts, faces, valid = marching_tets_dense(sdf)
+    assert int(valid.sum()) > 100  # plenty of surface triangles
+    # all surface vertices lie near the sphere
+    v = np.asarray(verts)[np.asarray(faces[np.asarray(valid)]).reshape(-1)]
+    d = np.linalg.norm(v - 0.5, axis=-1)
+    np.testing.assert_allclose(d, 0.3, atol=0.05)
+
+
+def test_marching_tets_empty_and_full():
+    sdf_pos = jnp.ones((9, 9, 9))
+    _, _, valid = marching_tets_dense(sdf_pos)
+    assert int(valid.sum()) == 0
+    sdf_neg = -jnp.ones((9, 9, 9))
+    _, _, valid = marching_tets_dense(sdf_neg)
+    assert int(valid.sum()) == 0
+
+
+def test_marching_tets_differentiable():
+    def loss(offset):
+        sdf = jnp.asarray(sphere_sdf(8, (0.5, 0.5, 0.5), 0.3)) + offset
+        verts, faces, valid = marching_tets_dense(sdf)
+        # mean distance of face vertices from center
+        pts = verts[faces.reshape(-1)]
+        w = valid.repeat(3).astype(jnp.float32)
+        d = jnp.linalg.norm(pts - 0.5, axis=-1)
+        return jnp.sum(d * w) / jnp.maximum(w.sum(), 1.0)
+
+    g = jax.grad(loss)(jnp.float32(0.0))
+    # growing the SDF shrinks the sphere -> negative gradient of radius
+    assert np.isfinite(float(g))
+    assert float(g) < 0
+
+
+def test_weld_mesh():
+    sdf = jnp.asarray(sphere_sdf(8, (0.5, 0.5, 0.5), 0.3))
+    verts, faces, valid = marching_tets_dense(sdf)
+    v, f = weld_mesh(np.asarray(verts), np.asarray(faces), np.asarray(valid))
+    assert len(v) < 3 * int(valid.sum())  # welding merged vertices
+    assert f.max() < len(v)
+
+
+def test_mesh_renderer_sphere():
+    sdf = jnp.asarray(sphere_sdf(12, (0.5, 0.5, 0.5), 0.3))
+    verts, faces, valid = marching_tets_dense(sdf)
+    verts = verts - 0.5  # center at origin
+    cam = Camera(
+        world_view=jnp.asarray(lookat_extrinsics([0.0, -1.5, 0.0])),
+        intrinsics=jnp.asarray(fov_intrinsics(45.0)),
+        height=32, width=32, near=0.1, far=10.0,
+    )
+    out = render_mesh(verts, faces, valid, cam, chunk=1024)
+    mask = np.asarray(out["mask"])
+    assert mask.shape == (32, 32)
+    assert mask[16, 16] == 1.0  # sphere covers center
+    assert mask[0, 0] == 0.0    # corner empty
+    # depth at center ~ 1.5 - 0.3 = 1.2
+    np.testing.assert_allclose(np.asarray(out["depth"])[16, 16], 1.2, atol=0.1)
+    n = np.asarray(out["normal"])[16, 16]
+    assert np.linalg.norm(n) > 0.9  # unit-ish normal at hit
+
+
+def test_slat_mesh_decoder_shapes():
+    from gvfdiffusion_tpu.models.trellis.slat_mesh_decoder import SLatMeshDecoder
+    from gvfdiffusion_tpu.sparse.tensor import from_lists
+
+    sv = from_lists(
+        [np.array([[2, 2, 2], [3, 3, 3]])],
+        [np.zeros((2, 8), np.float32)], resolution=8, capacity=8,
+    )
+    model = SLatMeshDecoder(
+        resolution=8, model_channels=32, latent_channels=8, num_blocks=1,
+        num_heads=4, window_size=4, use_subdivide=True,
+    )
+    params = model.init(jax.random.PRNGKey(0), sv)
+    sdf, deform, res = model.apply(params, sv)
+    assert res == 16  # subdivided
+    assert sdf.shape == (1, 17, 17, 17)
+    assert deform.shape == (1, 17, 17, 17, 3)
+    assert np.isfinite(np.asarray(sdf)).all()

@@ -63,28 +63,30 @@ def main():
     betas = get_named_beta_schedule("cosine", 1000)
     ns = NoiseScheduleVP.from_betas(betas)
 
-    def raw_model(xx, tt, cond_images=None, static_latent=None, positions=None):
-        return model.apply(params, xx, tt, cond_images, static_latent, positions)
-
-    model_fn = model_wrapper(
-        raw_model, ns, model_type="v", guidance_type="classifier-free",
-        condition=cond, unconditional_condition=cond,
-        guidance_scale=2.0, guidance_scale2=5.0,
-    )
-    solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++")
-
+    # IMPORTANT: params/cond enter as jit ARGUMENTS, not closure captures —
+    # captured arrays serialize as HLO constants (233 MB of weights), which
+    # both bloats compile time and overflows the axon tunnel's request limit.
     @jax.jit
-    def sample(noise):
+    def sample(noise, params, cond):
+        def raw_model(xx, tt, cond_images=None, static_latent=None, positions=None):
+            return model.apply(params, xx, tt, cond_images, static_latent, positions)
+
+        model_fn = model_wrapper(
+            raw_model, ns, model_type="v", guidance_type="classifier-free",
+            condition=cond, unconditional_condition=cond,
+            guidance_scale=2.0, guidance_scale2=5.0,
+        )
+        solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++")
         return solver.sample(noise, steps=steps, order=2, method="multistep")
 
     noise = jax.random.normal(ks[5], (B, T, N, C))
-    out = sample(noise)  # compile + first run
+    out = sample(noise, params, cond)  # compile + first run
     jax.block_until_ready(out)
 
     n_iters = 3
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = sample(noise)
+        out = sample(noise, params, cond)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_iters
 

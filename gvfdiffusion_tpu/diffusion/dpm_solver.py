@@ -249,6 +249,80 @@ class DPMSolver:
             )
         return x_t, model_s
 
+    def singlestep_third_update(self, x, s, t, r1=1.0 / 3.0, r2=2.0 / 3.0,
+                                model_s=None, model_s1=None):
+        """Order-3 singlestep (dpmsolver++ / 'dpmsolver' type). Returns
+        (x_t, model_s, model_s1) so lower-order estimates can reuse them."""
+        assert self.algorithm_type == "dpmsolver++"
+        ns = self.ns
+        lambda_s, lambda_t = ns.marginal_lambda(s), ns.marginal_lambda(t)
+        h = lambda_t - lambda_s
+        s1 = ns.inverse_lambda(lambda_s + r1 * h)
+        s2 = ns.inverse_lambda(lambda_s + r2 * h)
+        sig = ns.marginal_std
+        alp = ns.marginal_alpha
+        phi_11 = jnp.expm1(-r1 * h)
+        phi_12 = jnp.expm1(-r2 * h)
+        phi_1 = jnp.expm1(-h)
+        phi_22 = phi_12 / (r2 * h) + 1.0
+        phi_2 = phi_1 / h + 1.0
+        if model_s is None:
+            model_s = self.model_fn(x, s)
+        x_s1 = (sig(s1) / sig(s)) * x - alp(s1) * phi_11 * model_s
+        if model_s1 is None:
+            model_s1 = self.model_fn(x_s1, s1)
+        x_s2 = (
+            (sig(s2) / sig(s)) * x
+            - alp(s2) * phi_12 * model_s
+            + (r2 / r1) * alp(s2) * phi_22 * (model_s1 - model_s)
+        )
+        model_s2 = self.model_fn(x_s2, s2)
+        x_t = (
+            (sig(t) / sig(s)) * x
+            - alp(t) * phi_1 * model_s
+            + (1.0 / r2) * alp(t) * phi_2 * (model_s2 - model_s)
+        )
+        return x_t, model_s, model_s1
+
+    def singlestep_update(self, x, s, t, order: int):
+        if order == 1:
+            return self.first_update(x, s, t, self.model_fn(x, s))
+        if order == 2:
+            return self.singlestep_second_update(x, s, t)[0]
+        if order == 3:
+            return self.singlestep_third_update(x, s, t)[0]
+        raise ValueError(order)
+
+    def get_orders_and_timesteps_for_singlestep_solver(
+        self, steps: int, order: int, skip_type: str, t_T: float, t_0: float
+    ):
+        """DPM-Solver-fast order allocation (reference :499-560): combine
+        orders 1-3 to spend exactly `steps` NFE."""
+        if order == 3:
+            k = steps // 3 + 1
+            if steps % 3 == 0:
+                orders = [3] * (k - 2) + [2, 1]
+            elif steps % 3 == 1:
+                orders = [3] * (k - 1) + [1]
+            else:
+                orders = [3] * (k - 1) + [2]
+        elif order == 2:
+            if steps % 2 == 0:
+                orders = [2] * (steps // 2)
+            else:
+                orders = [2] * (steps // 2) + [1]
+        elif order == 1:
+            orders = [1] * steps
+        else:
+            raise ValueError(order)
+        if skip_type == "logSNR":
+            ts = self.get_time_steps(skip_type, t_T, t_0, len(orders))
+        else:
+            full = self.get_time_steps(skip_type, t_T, t_0, steps)
+            idx = np.cumsum([0] + orders)
+            ts = full[idx]
+        return ts, orders
+
     # -- multistep updates -------------------------------------------------
 
     def multistep_second_update(self, x, m_prev, t_prev, t):
@@ -357,6 +431,19 @@ class DPMSolver:
         t_T = self.ns.T if t_start is None else t_start
         if method == "adaptive":
             return self._sample_adaptive(x, order, t_T, t_0, atol=atol, rtol=rtol)
+        if method in ("singlestep", "singlestep_fixed"):
+            if method == "singlestep_fixed":
+                k = steps // order
+                orders = [order] * k
+                ts = self.get_time_steps(skip_type, t_T, t_0, k)
+            else:
+                ts, orders = self.get_orders_and_timesteps_for_singlestep_solver(
+                    steps, order, skip_type, t_T, t_0
+                )
+            ts = jnp.asarray(ts, jnp.float32)
+            for i, o in enumerate(orders):
+                x = self.singlestep_update(x, ts[i], ts[i + 1], o)
+            return x
         assert method == "multistep", f"unsupported method {method}"
         assert steps >= order
         ts = jnp.asarray(
@@ -415,12 +502,12 @@ class DPMSolver:
         t_err: float = 1e-5,
         max_iters: int = 200,
     ):
-        """Adaptive step-size solver (order 2), reference model/dpmsolver.py:973.
+        """Adaptive step-size solver (orders 2-3), reference model/dpmsolver.py:973.
 
         lax.while_loop with a static iteration bound; each iteration costs
-        `order` NFE. Returns (x, nfe).
+        `order` NFE.
         """
-        assert order == 2, "adaptive solver implemented for order=2"
+        assert order in (2, 3), "adaptive solver supports order 2 or 3"
         ns = self.ns
         lambda_0 = ns.marginal_lambda(jnp.float32(t_0))
 
@@ -432,9 +519,17 @@ class DPMSolver:
             x, x_prev, s, h, i = state
             lambda_s = ns.marginal_lambda(s)
             t = ns.inverse_lambda(lambda_s + h)
-            model_s = self.model_fn(x, s)
-            x_lower = self.first_update(x, s, t, model_s)
-            x_higher, _ = self.singlestep_second_update(x, s, t, r1=0.5, model_s=model_s)
+            if order == 2:
+                model_s = self.model_fn(x, s)
+                x_lower = self.first_update(x, s, t, model_s)
+                x_higher, _ = self.singlestep_second_update(
+                    x, s, t, r1=0.5, model_s=model_s
+                )
+            else:
+                x_lower, model_s = self.singlestep_second_update(x, s, t, r1=1.0 / 3.0)
+                x_higher, _, _ = self.singlestep_third_update(
+                    x, s, t, model_s=model_s
+                )
             delta = jnp.maximum(atol, rtol * jnp.maximum(jnp.abs(x_lower), jnp.abs(x_prev)))
             err = jnp.sqrt(jnp.mean(((x_higher - x_lower) / delta) ** 2))
             accept = err <= 1.0

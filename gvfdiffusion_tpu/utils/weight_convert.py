@@ -165,6 +165,31 @@ def convert_static_vae(state_dict: Dict[str, Any], num_blocks: int = 12) -> Dict
     return {"params": p}
 
 
+def convert_static_vae_to_slat_decoder(
+    state_dict: Dict[str, Any], num_blocks: int = 12
+) -> Dict:
+    """The GVF checkpoint surgery (reference trellis/models/__init__.py:46-76):
+    remap the static VAE's DECODER half onto an SLatGaussianDecoder —
+    `decoder.{i}.` -> torso blocks, `from_latent.` -> torso input layer,
+    `out_layer.` stays the output head; encoder weights are dropped.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    p: Dict = {}
+
+    def slinear(tname, fpath):
+        _linear(sd, tname, p, fpath + ["Dense_0"])
+
+    slinear("from_latent", ["torso", "input_layer"])
+    for i in range(num_blocks):
+        b = f"decoder.{i}"
+        fp = ["torso", f"blocks_{i}"]
+        _mha(sd, f"{b}.attn", p, fp + ["attn"], True, False)
+        slinear(f"{b}.mlp.mlp.0", fp + ["mlp", "mlp_0"])
+        slinear(f"{b}.mlp.mlp.2", fp + ["mlp", "mlp_2"])
+    slinear("out_layer", ["out_layer"])
+    return {"params": p}
+
+
 def strip_prefix(state_dict: Dict[str, Any], prefix: str = "module.") -> Dict[str, Any]:
     """Remove DDP 'module.' prefixes (reference main_latent.py:29-33)."""
     return {

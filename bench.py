@@ -68,13 +68,31 @@ def main():
     # both bloats compile time and overflows the axon tunnel's request limit.
     @jax.jit
     def sample(noise, params, cond):
-        def raw_model(xx, tt, cond_images=None, static_latent=None, positions=None):
-            return model.apply(params, xx, tt, cond_images, static_latent, positions)
+        def raw_model(xx, tt, cond_images=None, static_latent=None,
+                      positions=None, cross_kv=None):
+            return model.apply(
+                params, xx, tt, cond_images, static_latent, positions,
+                cross_kv=cross_kv,
+            )
+
+        # hoist the loop-invariant cross-attention KV out of the denoise loop:
+        # build the 3-way CFG conditioning batch once and precompute per-block
+        # K/V (~20% of per-step FLOPs saved)
+        full_uncond = dict(cond, static_latent=jnp.zeros_like(cond["static_latent"]))
+        c3 = {
+            k: jnp.concatenate([full_uncond[k], cond[k], cond[k]])
+            for k in cond
+        }
+        kv = model.apply(
+            params, jnp.zeros((3 * B, T, N, C)), jnp.zeros((3 * B,)),
+            c3["cond_images"], c3["static_latent"], c3["positions"],
+            kv_only=True,
+        )
 
         model_fn = model_wrapper(
             raw_model, ns, model_type="v", guidance_type="classifier-free",
             condition=cond, unconditional_condition=cond,
-            guidance_scale=2.0, guidance_scale2=5.0,
+            guidance_scale=2.0, guidance_scale2=5.0, cross_kv=kv,
         )
         solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++")
         return solver.sample(noise, steps=steps, order=2, method="multistep")

@@ -99,6 +99,7 @@ def model_wrapper(
     guidance_scale: float = 1.0,
     guidance_scale2: float = 1.0,
     zero_uncond_keys: tuple = ("static_latent",),
+    cross_kv=None,
 ) -> Callable:
     """Wrap a discrete-time model into a continuous-time noise predictor with
     (optionally) dual-scale CFG (reference model/dpmsolver.py:171-347).
@@ -121,6 +122,8 @@ def model_wrapper(
         kwargs = dict(model_kwargs)
         if cond is not None:
             kwargs.update(cond)
+        if cross_kv is not None:
+            kwargs["cross_kv"] = cross_kv
         output = model(x, t_input, **kwargs)
         ed = lambda v: v.reshape(v.shape + (1,) * (x.ndim - 1))  # [B] -> [B,1,..]
         if model_type == "noise":

@@ -62,27 +62,55 @@ class DiT(nn.Module):
         cond_images: jnp.ndarray,
         static_latent: jnp.ndarray,
         positions: Optional[jnp.ndarray] = None,
-    ) -> jnp.ndarray:
+        cross_kv=None,
+        kv_only: bool = False,
+    ):
+        """With kv_only=True, returns the per-block cross-attention KV cache
+        (conditioning is constant across sampler steps — precompute once,
+        thread back via cross_kv inside the denoise loop to skip ~20% of the
+        per-step FLOPs). x and t are ignored in that mode (shapes only)."""
         B, T, N, _ = x.shape
         C = self.model_channels
         xavier = nn.initializers.xavier_uniform()
 
+        if cross_kv is None:
+            image_emb = nn.Dense(
+                C, dtype=self.dtype, kernel_init=nn.initializers.normal(0.02),
+                name="image_cond_proj",
+            )(cond_images)
+            static_emb = nn.Dense(
+                C, dtype=self.dtype, kernel_init=nn.initializers.normal(0.02),
+                name="static_cond_proj",
+            )(static_latent)
+            # broadcast static conditioning over frames: (B,Ns,C) -> (B,T,Ns,C)
+            static_emb = jnp.broadcast_to(
+                static_emb[:, None], (B, T) + static_emb.shape[1:]
+            )
+        else:
+            image_emb = static_emb = None
+
+        block_kwargs_kv = dict(
+            channels=C,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            use_rope=(self.pe_mode == "rope"),
+            qk_rms_norm=self.qk_rms_norm,
+            qk_rms_norm_cross=self.qk_rms_norm_cross,
+            share_mod=self.share_mod,
+            no_temporal_attn=self.no_temporal_attn,
+            dtype=self.dtype,
+        )
+        if kv_only:
+            return tuple(
+                ModulatedTransformerCrossBlock(
+                    **block_kwargs_kv, name=f"blocks_{i}"
+                )(None, None, image_emb, static_emb, kv_only=True)
+                for i in range(self.num_blocks)
+            )
+
         h = nn.Dense(C, dtype=self.dtype, kernel_init=xavier, name="input_layer")(x)
 
         t_emb = TimestepEmbedder(C, name="t_embedder")(t)
-
-        image_emb = nn.Dense(
-            C, dtype=self.dtype, kernel_init=nn.initializers.normal(0.02),
-            name="image_cond_proj",
-        )(cond_images)
-        static_emb = nn.Dense(
-            C, dtype=self.dtype, kernel_init=nn.initializers.normal(0.02),
-            name="static_cond_proj",
-        )(static_latent)
-        # broadcast static conditioning over frames: (B, Ns, C) -> (B, T, Ns, C)
-        static_emb = jnp.broadcast_to(
-            static_emb[:, None], (B, T) + static_emb.shape[1:]
-        )
 
         mod = t_emb
         if self.share_mod:
@@ -102,21 +130,13 @@ class DiT(nn.Module):
             )
             h = h + pe[None].astype(h.dtype)
 
-        block_kwargs = dict(
-            channels=C,
-            num_heads=self.num_heads,
-            mlp_ratio=self.mlp_ratio,
-            use_rope=(self.pe_mode == "rope"),
-            qk_rms_norm=self.qk_rms_norm,
-            qk_rms_norm_cross=self.qk_rms_norm_cross,
-            share_mod=self.share_mod,
-            no_temporal_attn=self.no_temporal_attn,
-            dtype=self.dtype,
-        )
         RematBlock = nn.remat(ModulatedTransformerCrossBlock)
         for i in range(self.num_blocks):
             Block = RematBlock if i < self.remat_blocks else ModulatedTransformerCrossBlock
-            h = Block(**block_kwargs, name=f"blocks_{i}")(h, mod, image_emb, static_emb)
+            h = Block(**block_kwargs_kv, name=f"blocks_{i}")(
+                h, mod, image_emb, static_emb, None,
+                cross_kv[i] if cross_kv is not None else None,
+            )
 
         return FinalLayer(
             C, self.out_channels, dtype=self.dtype, name="final_layer"

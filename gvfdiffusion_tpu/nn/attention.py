@@ -110,11 +110,30 @@ class MultiHeadAttention(nn.Module):
         x: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
         indices: Optional[jnp.ndarray] = None,
+        context_kv=None,
+        kv_only: bool = False,
     ) -> jnp.ndarray:
+        """Cross-attention KV caching: conditioning tokens are constant across
+        sampler steps, so their K/V projections are loop-invariant. Call with
+        kv_only=True (x ignored) to get the (k, v) pair once; pass it back via
+        context_kv inside the sampling loop to skip the projections.
+        """
         assert self.channels % self.num_heads == 0
         head_dim = self.channels // self.num_heads
-        B, L, _ = x.shape
 
+        if kv_only:
+            assert self.attn_type == "cross" and context is not None
+            B, Lk = context.shape[:2]
+            kv = nn.Dense(
+                self.channels * 2, use_bias=self.qkv_bias, dtype=self.dtype,
+                name="to_kv",
+            )(context).reshape(B, Lk, 2, self.num_heads, head_dim)
+            k, v = kv[:, :, 0], kv[:, :, 1]
+            if self.qk_rms_norm:
+                k = MultiHeadRMSNorm(head_dim, self.num_heads, name="k_rms_norm")(k)
+            return k, v
+
+        B, L, _ = x.shape
         if self.attn_type == "self":
             qkv = nn.Dense(
                 self.channels * 3, use_bias=self.qkv_bias, dtype=self.dtype,
@@ -124,21 +143,27 @@ class MultiHeadAttention(nn.Module):
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             if self.use_rope:
                 q, k = RotaryPositionEmbedder(head_dim, name="rope")(q, k, indices)
+            if self.qk_rms_norm:
+                q = MultiHeadRMSNorm(head_dim, self.num_heads, name="q_rms_norm")(q)
+                k = MultiHeadRMSNorm(head_dim, self.num_heads, name="k_rms_norm")(k)
         else:
-            assert context is not None, "cross attention requires context"
-            Lk = context.shape[1]
             q = nn.Dense(
                 self.channels, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q"
             )(x).reshape(B, L, self.num_heads, head_dim)
-            kv = nn.Dense(
-                self.channels * 2, use_bias=self.qkv_bias, dtype=self.dtype,
-                name="to_kv",
-            )(context).reshape(B, Lk, 2, self.num_heads, head_dim)
-            k, v = kv[:, :, 0], kv[:, :, 1]
-
-        if self.qk_rms_norm:
-            q = MultiHeadRMSNorm(head_dim, self.num_heads, name="q_rms_norm")(q)
-            k = MultiHeadRMSNorm(head_dim, self.num_heads, name="k_rms_norm")(k)
+            if self.qk_rms_norm:
+                q = MultiHeadRMSNorm(head_dim, self.num_heads, name="q_rms_norm")(q)
+            if context_kv is not None:
+                k, v = context_kv  # pre-normed in kv_only
+            else:
+                assert context is not None, "cross attention requires context"
+                Lk = context.shape[1]
+                kv = nn.Dense(
+                    self.channels * 2, use_bias=self.qkv_bias, dtype=self.dtype,
+                    name="to_kv",
+                )(context).reshape(B, Lk, 2, self.num_heads, head_dim)
+                k, v = kv[:, :, 0], kv[:, :, 1]
+                if self.qk_rms_norm:
+                    k = MultiHeadRMSNorm(head_dim, self.num_heads, name="k_rms_norm")(k)
 
         h = scaled_dot_product_attention(q, k, v)
         h = h.reshape(B, L, self.channels)

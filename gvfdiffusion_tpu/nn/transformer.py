@@ -68,9 +68,25 @@ class ModulatedTransformerCrossBlock(nn.Module):
         cond_images: jnp.ndarray,
         static_latent: jnp.ndarray,
         indices: Optional[jnp.ndarray] = None,
-    ) -> jnp.ndarray:
+        cross_kv=None,     # ((img_k, img_v), (static_k, static_v)) or None
+        kv_only: bool = False,
+    ):
         C = self.channels
         zero_out = nn.initializers.zeros
+
+        if kv_only:
+            # loop-invariant cross-attention KV for the sampling loop
+            img_kv = MultiHeadAttention(
+                C, self.num_heads, ctx_channels=C, attn_type="cross",
+                qkv_bias=self.qkv_bias, qk_rms_norm=self.qk_rms_norm_cross,
+                dtype=self.dtype, name="image_cross_attn",
+            )(None, cond_images.reshape(-1, cond_images.shape[2], C), kv_only=True)
+            static_kv = MultiHeadAttention(
+                C, self.num_heads, ctx_channels=C, attn_type="cross",
+                qkv_bias=self.qkv_bias, qk_rms_norm=self.qk_rms_norm_cross,
+                dtype=self.dtype, name="static_cross_attn",
+            )(None, static_latent.reshape(-1, static_latent.shape[2], C), kv_only=True)
+            return img_kv, static_kv
 
         if self.share_mod:
             n_chunks = 6 if self.no_temporal_attn else 9
@@ -119,6 +135,7 @@ class ModulatedTransformerCrossBlock(nn.Module):
             x = x + h * g_t[:, None, None, :]
 
         # image cross attention (un-gated, affine pre-norm — reference :263-266)
+        img_kv, static_kv = cross_kv if cross_kv is not None else (None, None)
         h = _ln("norm3", affine=True)(x)
         h = MultiHeadAttention(
             C, self.num_heads, ctx_channels=C, attn_type="cross",
@@ -126,7 +143,9 @@ class ModulatedTransformerCrossBlock(nn.Module):
             dtype=self.dtype, name="image_cross_attn",
         )(
             h.reshape(B * T, N, C),
-            cond_images.reshape(B * T, cond_images.shape[2], C),
+            cond_images.reshape(B * T, cond_images.shape[2], C)
+            if img_kv is None else None,
+            context_kv=img_kv,
         ).reshape(B, T, N, C)
         x = x + h
 
@@ -138,7 +157,9 @@ class ModulatedTransformerCrossBlock(nn.Module):
             dtype=self.dtype, name="static_cross_attn",
         )(
             h.reshape(B * T, N, C),
-            static_latent.reshape(B * T, static_latent.shape[2], C),
+            static_latent.reshape(B * T, static_latent.shape[2], C)
+            if static_kv is None else None,
+            context_kv=static_kv,
         ).reshape(B, T, N, C)
         x = x + h
 

@@ -113,7 +113,26 @@ class VideoTo4DPipeline:
         def raw_model(x, t, **kw):
             return self.dit.apply(
                 self.dit_params, x, t, kw["cond_images"], kw["static_latent"],
-                kw["positions"],
+                kw["positions"], cross_kv=kw.get("cross_kv"),
+            )
+
+        # precompute loop-invariant cross-attention KV for the 3-way CFG batch
+        # (branch order matches model_wrapper: full-uncond / uncond / cond)
+        cross_kv = None
+        if cfg.guidance_scale != 1.0 or cfg.guidance_scale2 != 1.0:
+            full_uncond = dict(
+                uncond, static_latent=jnp.zeros_like(uncond["static_latent"])
+            )
+            c3 = {
+                k: jnp.concatenate([full_uncond[k], uncond[k], cond[k]])
+                for k in cond
+            }
+            cross_kv = self.dit.apply(
+                self.dit_params,
+                jnp.zeros((3 * B, T, cfg.num_latents, cfg.latent_dim)),
+                jnp.zeros((3 * B,)),
+                c3["cond_images"], c3["static_latent"], c3["positions"],
+                kv_only=True,
             )
 
         model_fn = model_wrapper(
@@ -122,6 +141,7 @@ class VideoTo4DPipeline:
             unconditional_condition=uncond,
             guidance_scale=cfg.guidance_scale,
             guidance_scale2=cfg.guidance_scale2,
+            cross_kv=cross_kv,
         )
         solver = DPMSolver(model_fn, self.ns, algorithm_type="dpmsolver++")
         noise = jax.random.normal(

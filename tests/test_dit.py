@@ -109,6 +109,26 @@ def test_mem_ratio_mapping():
     assert model.mem_ratio_to_remat_blocks(0.0) == 12
 
 
+def test_cross_kv_cache_matches_direct():
+    # precomputed cross-attention KV must give bit-identical outputs
+    model = tiny_dit()
+    inputs = make_inputs(jax.random.PRNGKey(0))
+    params = model.init(jax.random.PRNGKey(1), **inputs)
+    params = jax.tree.map(
+        lambda x: jax.random.normal(jax.random.PRNGKey(3), x.shape) * 0.05, params
+    )
+    out_direct = model.apply(params, **inputs)
+    kv = model.apply(
+        params, inputs["x"], inputs["t"], inputs["cond_images"],
+        inputs["static_latent"], inputs["positions"], kv_only=True,
+    )
+    assert len(kv) == 2  # one entry per block
+    out_cached = model.apply(params, **inputs, cross_kv=kv)
+    np.testing.assert_allclose(
+        np.asarray(out_direct), np.asarray(out_cached), atol=1e-6
+    )
+
+
 @pytest.mark.parametrize("pe_mode", ["learnable", "none", "rope"])
 def test_pe_modes(pe_mode):
     model = tiny_dit(pe_mode=pe_mode)

@@ -97,16 +97,23 @@ def main():
         solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++")
         return solver.sample(noise, steps=steps, order=2, method="multistep")
 
+    import sys
+
     noise = jax.random.normal(ks[5], (B, T, N, C))
+    t_c0 = time.perf_counter()
     out = sample(noise, params, cond)  # compile + first run
     jax.block_until_ready(out)
+    print(f"first call (compile+run): {time.perf_counter()-t_c0:.1f}s",
+          file=sys.stderr)
 
-    n_iters = 3
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
         out = sample(noise, params, cond)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iters
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    print(f"per-iter: {[round(t, 3) for t in times]}", file=sys.stderr)
+    dt = min(times)
 
     print(json.dumps({
         "metric": "dpm32_denoise_latency_b1_cfg3",

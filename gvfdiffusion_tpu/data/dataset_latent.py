@@ -125,8 +125,14 @@ class LatentDataset:
 def load_data(
     dataset: LatentDataset, batch_size: int, shuffle: bool = True
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Infinite batch generator (reference load_data dataset_latent.py:16)."""
+    """Infinite batch generator (reference load_data dataset_latent.py:16).
+
+    Datasets smaller than one (global) batch cycle with repetition so tiny
+    runs / smoke tests still produce full batches.
+    """
     order = list(range(len(dataset)))
+    while len(order) < batch_size:
+        order = order + order
     while True:
         if shuffle:
             dataset.rng.shuffle(order)

@@ -176,6 +176,8 @@ class VAEDataset:
 
 def load_data(dataset: VAEDataset, batch_size: int) -> Iterator[Dict]:
     order = list(range(len(dataset)))
+    while order and len(order) < batch_size:
+        order = order + order
     while True:
         dataset.rng.shuffle(order)
         for i in range(0, len(order) - batch_size + 1, batch_size):

@@ -16,13 +16,32 @@ import jax
 import jax.numpy as jnp
 
 
+import os
+
+_ATTN_IMPL = os.environ.get("GVF_ATTN", "xla")  # "xla" | "einsum"
+
+
 def scaled_dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """[B, Lq, H, C] x [B, Lk, H, C] -> [B, Lq, H, C]."""
+    """[B, Lq, H, C] x [B, Lk, H, C] -> [B, Lq, H, C].
+
+    GVF_ATTN=einsum selects a plain two-einsum softmax attention — with this
+    model family's narrow head_dim (32) the fused XLA attention path is not
+    always the fastest lowering; the flag lets benchmarks pick per-workload.
+    """
+    if _ATTN_IMPL == "einsum":
+        scale = q.shape[-1] ** -0.5
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if mask is not None:
+            logits = jnp.where(mask, logits, -1e30)
+        w = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", w.astype(v.dtype), v)
     return jax.nn.dot_product_attention(q, k, v, mask=mask)
 
 

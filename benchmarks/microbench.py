@@ -14,7 +14,15 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+# persistent compile cache (axon tunnel compiles slowly; see docs/BENCH_NOTES.md)
+import jax as _jax
+
+os.makedirs(os.path.join(_ROOT, ".jax_cache"), exist_ok=True)
+_jax.config.update("jax_compilation_cache_dir", os.path.join(_ROOT, ".jax_cache"))
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def timeit(fn, iters=10, warmup=2):

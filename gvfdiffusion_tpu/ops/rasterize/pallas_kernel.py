@@ -23,6 +23,9 @@ from .binning import BinnedGaussians
 _SUB, _LANE = 8, 128  # pixel register tile: 8*128 = 1024 = 32*32 pixels
 
 
+_BK = 8  # gaussians blended per outer iteration (v2: blocked K-loop)
+
+
 def _tile_kernel(mean_ref, conic_ref, color_ref, opac_ref, depth_ref,
                  rgb_ref, depth_out_ref, alpha_ref, *, tile, n_tx):
     i = pl.program_id(0)
@@ -38,32 +41,48 @@ def _tile_kernel(mean_ref, conic_ref, color_ref, opac_ref, depth_ref,
 
     k_max = mean_ref.shape[1]
 
-    def body(k, carry):
+    def body(kb, carry):
         t, r, g, b, d = carry
-        mx = mean_ref[0, k, 0]
-        my = mean_ref[0, k, 1]
-        ca = conic_ref[0, k, 0]
-        cb = conic_ref[0, k, 1]
-        cc = conic_ref[0, k, 2]
-        op = opac_ref[0, k, 0]
-        dx = px - mx
-        dy = py - my
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        alpha = jnp.minimum(0.99, op * jnp.exp(jnp.minimum(power, 0.0)))
-        alpha = jnp.where(power > 0.0, 0.0, alpha)
-        alpha = jnp.where(alpha < 1.0 / 255.0, 0.0, alpha)
-        w = alpha * t
-        r = r + w * color_ref[0, k, 0]
-        g = g + w * color_ref[0, k, 1]
-        b = b + w * color_ref[0, k, 2]
-        d = d + w * depth_ref[0, k, 0]
-        t = t * (1.0 - alpha)
-        return t, r, g, b, d
+
+        def compute(_):
+            # one vector load per attribute block instead of 5*_BK scalar
+            # VMEM loads; per-gaussian values come from register extracts
+            k0 = kb * _BK
+            mb = mean_ref[0, pl.ds(k0, _BK), :]    # [_BK, 2]
+            cb_ = conic_ref[0, pl.ds(k0, _BK), :]  # [_BK, 3]
+            col = color_ref[0, pl.ds(k0, _BK), :]  # [_BK, 3]
+            ob = opac_ref[0, pl.ds(k0, _BK), 0]    # [_BK]
+            db = depth_ref[0, pl.ds(k0, _BK), 0]
+            tt, rr, gg, bb, dd = t, r, g, b, d
+            for j in range(_BK):  # unrolled: sequential blend in registers
+                dx = px - mb[j, 0]
+                dy = py - mb[j, 1]
+                power = (
+                    -0.5 * (cb_[j, 0] * dx * dx + cb_[j, 2] * dy * dy)
+                    - cb_[j, 1] * dx * dy
+                )
+                alpha = jnp.minimum(
+                    0.99, ob[j] * jnp.exp(jnp.minimum(power, 0.0))
+                )
+                alpha = jnp.where(power > 0.0, 0.0, alpha)
+                alpha = jnp.where(alpha < 1.0 / 255.0, 0.0, alpha)
+                w = alpha * tt
+                rr = rr + w * col[j, 0]
+                gg = gg + w * col[j, 1]
+                bb = bb + w * col[j, 2]
+                dd = dd + w * db[j]
+                tt = tt * (1.0 - alpha)
+            return tt, rr, gg, bb, dd
+
+        # transmittance early-exit: once the tile is saturated, skip blocks
+        return jax.lax.cond(
+            jnp.max(t) > 1e-4, compute, lambda _: (t, r, g, b, d), None
+        )
 
     ones = jnp.ones((_SUB, _LANE), jnp.float32)
     zeros = jnp.zeros((_SUB, _LANE), jnp.float32)
     t, r, g, b, d = jax.lax.fori_loop(
-        0, k_max, body, (ones, zeros, zeros, zeros, zeros)
+        0, k_max // _BK, body, (ones, zeros, zeros, zeros, zeros)
     )
     rgb_ref[0, 0] = r
     rgb_ref[0, 1] = g
@@ -80,9 +99,19 @@ def rasterize_pallas(
     assert tile * tile == _SUB * _LANE, "kernel is specialized to 32x32 tiles"
     n_ty, n_tx = binned.n_tiles_y, binned.n_tiles_x
     n_tiles = n_ty * n_tx
-    k = binned.mean2d.shape[1]
 
     opac = jnp.where(binned.mask, binned.opacity, 0.0)
+    # pad K to the kernel's block size (padding has opacity 0 -> no-op blend)
+    k_raw = binned.mean2d.shape[1]
+    pad = (-k_raw) % _BK
+    if pad:
+        padk = lambda a: jnp.pad(a, ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2))
+        binned = binned._replace(
+            mean2d=padk(binned.mean2d), conic=padk(binned.conic),
+            color=padk(binned.color), depth=padk(binned.depth),
+        )
+        opac = padk(opac)
+    k = binned.mean2d.shape[1]
 
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),

@@ -89,7 +89,11 @@ def main(argv=None):
     tx = make_optimizer(
         lr=cfg.train.lr, warmup_steps=cfg.train.warmup_steps,
         weight_decay=cfg.train.weight_decay, grad_clip=cfg.train.grad_clip,
+        grad_accum=cfg.train.grad_accum,
     )
+    # EMA fires every micro-step; r^(1/accum) keeps the same horizon as the
+    # reference's once-per-optimizer-step EMA (train_latent.py:223)
+    ema_rate = cfg.train.ema_rate ** (1.0 / max(cfg.train.grad_accum, 1))
     state = create_train_state(params, tx)
     ckpt = CheckpointManager(f"{cfg.exp_dir}/checkpoints")
     state, start_step = auto_resume(f"{cfg.exp_dir}/checkpoints", state)
@@ -98,7 +102,7 @@ def main(argv=None):
 
     mesh = make_mesh(n_dev, axes=("data",))
     step_fn = jax.jit(make_train_step(model.apply, diffusion, tx,
-                                      ema_rate=cfg.train.ema_rate))
+                                      ema_rate=ema_rate))
 
     with mesh:
         state = replicate(state, mesh)

@@ -30,16 +30,25 @@ def make_optimizer(
     grad_clip: float = 1.0,
     b1: float = 0.9,
     b2: float = 0.999,
+    grad_accum: int = 1,
 ) -> optax.GradientTransformation:
-    """clip(1.0) -> adamw(lr linear-warmup) (reference train_latent.py:93-105)."""
+    """clip(1.0) -> adamw(lr linear-warmup) (reference train_latent.py:93-105).
+
+    grad_accum > 1 wraps the chain in optax.MultiSteps: gradients average
+    across micro-steps and the inner update fires every `grad_accum` calls
+    (the reference's accelerator.accumulate, train_latent.py:188).
+    """
     if warmup_steps > 0:
         schedule = optax.linear_schedule(0.0, lr, warmup_steps)
     else:
         schedule = lr
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay),
     )
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+    return tx
 
 
 def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:

@@ -18,7 +18,9 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "..", "..", "native", "gvf_host.cpp")
-_SO = os.path.join(_HERE, "libgvf_host.so")
+# lives in a non-package subdir so pkgutil doesn't mistake the .so for an
+# importable extension module
+_SO = os.path.join(_HERE, "_lib", "libgvf_host.so")
 
 _lib: Optional[ctypes.CDLL] = None
 
@@ -27,6 +29,7 @@ def _build() -> bool:
     src = os.path.abspath(_SRC)
     if not os.path.exists(src):
         return False
+    os.makedirs(os.path.dirname(_SO), exist_ok=True)
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, src],

@@ -139,6 +139,40 @@ def bench_rasterizer():
         print(" ".join(row))
 
 
+def bench_static_vae():
+    """BASELINE config #3: static VAE encode->decode forward latency."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gvfdiffusion_tpu.models.static_vae import SparseTransformerVAE
+    from gvfdiffusion_tpu.sparse.tensor import SparseVoxels
+
+    print("\n== static VAE roundtrip (full size: 12 blocks x 768ch, swin 8) ==")
+    model = SparseTransformerVAE()
+    for l in (16384,):
+        res = 64
+        rng = np.random.default_rng(0)
+        lin = rng.choice(res**3, l, replace=False)
+        coords = np.stack([lin // res**2, (lin // res) % res, lin % res], -1)
+        x = SparseVoxels(
+            feats=jnp.asarray(rng.normal(size=(1, l, 1024)).astype(np.float32)),
+            coords=jnp.asarray(coords[None], jnp.int32),
+            valid=jnp.ones((1, l), bool),
+            resolution=res,
+        )
+        k = jax.random.PRNGKey(0)
+        params = model.init(k, x, k)
+
+        @jax.jit
+        def roundtrip(params, x):
+            out, mean, logvar = model.apply(params, x, jax.random.PRNGKey(1))
+            return out.feats
+
+        t = timeit(lambda: roundtrip(params, x), iters=3, warmup=1)
+        print(f"{l:>8} voxels: {t*1e3:.0f} ms")
+
+
 def bench_dit_step():
     import jax
     import jax.numpy as jnp
@@ -174,7 +208,8 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--only", default=None,
-                   choices=[None, "curves", "attention", "rasterizer", "dit"])
+                   choices=[None, "curves", "attention", "rasterizer",
+                            "static_vae", "dit"])
     args = p.parse_args()
     if args.device == "cpu":
         import jax
@@ -189,5 +224,7 @@ if __name__ == "__main__":
         bench_attention()
     if args.only in (None, "rasterizer"):
         bench_rasterizer()
+    if args.only in (None, "static_vae"):
+        bench_static_vae()
     if args.only in (None, "dit"):
         bench_dit_step()

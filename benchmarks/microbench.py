@@ -26,16 +26,20 @@ _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def timeit(fn, iters=10, warmup=2):
+    """Median of per-call wall times, blocking every call (queueing async
+    dispatches and blocking once under-reports on remote backends)."""
+    import statistics
+
     import jax
 
     for _ in range(warmup):
-        out = fn()
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+    times = []
     for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
 
 
 def bench_curves():

@@ -492,6 +492,26 @@ class DPMSolver:
         x = self.multistep_update(x, list(m_buf), list(t_buf), ts[steps], order)
         return x
 
+    def inverse(
+        self,
+        x: jnp.ndarray,
+        steps: int = 20,
+        t_start: Optional[float] = None,
+        t_end: Optional[float] = None,
+        order: int = 2,
+        skip_type: str = "time_uniform",
+        method: str = "multistep",
+    ) -> jnp.ndarray:
+        """Invert a sample from t_start (default 1/N) to t_end (default T):
+        DDIM-style encoding to noise by running the solver in reverse time
+        (reference model/dpmsolver.py:1150-1160)."""
+        t_0 = 1.0 / self.ns.total_N if t_start is None else t_start
+        t_T = self.ns.T if t_end is None else t_end
+        return self.sample(
+            x, steps=steps, t_start=t_0, t_end=t_T, order=order,
+            skip_type=skip_type, method=method, lower_order_final=False,
+        )
+
     def _sample_adaptive(
         self,
         x: jnp.ndarray,

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.motion_vae import MotionVAE, pad_static_gs
+from ..models.motion_vae import MotionVAE
 from ..models.sparse_vae import GSConfig, to_representation
 from ..models.static_vae import SparseTransformerVAE
 from ..ops.fps import fps_masked

@@ -20,12 +20,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.dit import DiT
-from ..models.motion_vae import MotionVAE, pad_static_gs
+from ..models.motion_vae import MotionVAE
 from ..pipelines.video_to_4d import VideoTo4DConfig, VideoTo4DPipeline
 from ..render.renderer import RenderOptions
 from ..representations.gaussians import from_activated
 from ..utils import logger
-from ..utils.config import Config, load_config
+from ..utils.config import load_config
 
 
 def main(argv=None):

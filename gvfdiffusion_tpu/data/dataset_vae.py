@@ -17,7 +17,7 @@ from __future__ import annotations
 import json
 import os
 import random
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 import numpy as np
 

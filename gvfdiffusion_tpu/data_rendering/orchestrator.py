@@ -18,7 +18,7 @@ import os
 import queue
 import subprocess
 import threading
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional
 
 import numpy as np
 

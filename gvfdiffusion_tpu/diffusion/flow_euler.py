@@ -9,7 +9,7 @@ runs as a 2-way batched model call (cond ++ neg_cond) instead of two calls.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

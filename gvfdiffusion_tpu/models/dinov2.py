@@ -14,7 +14,6 @@ final layernormed version, matching `x_prenorm` semantics.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax

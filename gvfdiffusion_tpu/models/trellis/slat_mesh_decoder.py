@@ -10,7 +10,7 @@ TPU-static shapes; documented deviation from FlexiCubes).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

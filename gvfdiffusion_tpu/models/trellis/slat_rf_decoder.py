@@ -13,7 +13,7 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ...representations.octree import DfsOctree, Strivec, from_sparse_voxels
+from ...representations.octree import Strivec, from_sparse_voxels
 from ...sparse.ops import SparseLayerNorm, SparseLinear
 from ...sparse.tensor import SparseVoxels
 from .slat_decoders import SparseTransformerBase

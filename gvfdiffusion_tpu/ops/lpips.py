@@ -10,7 +10,7 @@ network access to fetch them).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional
 
 import flax.linen as nn
 import jax

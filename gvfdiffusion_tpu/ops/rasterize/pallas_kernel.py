@@ -11,7 +11,6 @@ Inputs come pre-binned and depth-sorted from binning.bin_gaussians.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

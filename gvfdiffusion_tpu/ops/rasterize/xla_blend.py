@@ -9,7 +9,6 @@ backprop straight through this).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

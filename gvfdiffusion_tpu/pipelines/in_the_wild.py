@@ -25,7 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..render.renderer import GaussianRenderer, RenderOptions
-from ..representations.gaussians import GaussianSplat, from_activated
 from ..utils.inference_utils import (
     align_gaussian_to_canonical, create_spiral_timeline_video, render_sweep,
     sample_gs,

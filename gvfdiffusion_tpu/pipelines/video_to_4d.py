@@ -14,7 +14,7 @@ conditioning prep can overlap device compute across batch items.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,7 @@ from ..models.motion_vae import MotionVAE
 from ..ops.fps import fps_masked
 from ..render.renderer import GaussianRenderer, RenderOptions
 from ..representations.camera import orbit_camera
-from ..representations.gaussians import GaussianSplat, from_activated
+from ..representations.gaussians import GaussianSplat
 
 
 @dataclasses.dataclass

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
-import jax
 import jax.numpy as jnp
 
 from ..ops.quaternion import build_covariance

@@ -19,7 +19,6 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 import flax.struct
-import jax
 import jax.numpy as jnp
 
 from ..ops.rasterize.binning import bin_gaussians

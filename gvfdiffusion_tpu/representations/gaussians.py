@@ -14,7 +14,6 @@ shards with jax.sharding — no host object graph.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.struct
 import jax

@@ -16,7 +16,7 @@ mirror the reference's structure control with static capacity.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.struct
 import jax

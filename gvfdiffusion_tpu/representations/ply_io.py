@@ -9,8 +9,7 @@ scale_*, rot_*) so outputs open in standard 3DGS viewers.
 
 from __future__ import annotations
 
-import struct
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -13,7 +13,6 @@ Cost: K^3 gathers + K^3 MXU matmuls; XLA fuses the accumulation chain.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from .tensor import SparseVoxels

@@ -9,7 +9,7 @@ upsampling reuses — mirroring the reference's cached-permutation design.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import flax.linen as nn
 import jax

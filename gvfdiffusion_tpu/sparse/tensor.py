@@ -17,7 +17,7 @@ packages (SURVEY.md §1 duplication warning) become this one module family.
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import flax.struct
 import jax

@@ -8,8 +8,7 @@ axis (gradient all-reduce rides ICI inside the compiled step).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

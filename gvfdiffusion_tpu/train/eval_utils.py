@@ -9,7 +9,7 @@ PSNR (encode_latent.py:258-261, utils/script_util.py:97 psnr).
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np

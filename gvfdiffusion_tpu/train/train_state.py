@@ -7,7 +7,7 @@ model/nn.py:277 update_ema) with an optax chain inside one jitted step.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any
 
 import flax.struct
 import jax

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Any, Dict, List, Optional, Sequence, Tuple, get_type_hints
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 
 @dataclasses.dataclass

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.fps import fps_masked
-from ..ops.quaternion import quat_multiply, rotmat_to_quat
+from ..ops.quaternion import quat_multiply
 from ..render.renderer import GaussianRenderer, RenderOptions
 from ..representations.camera import orbit_camera
 from ..representations.gaussians import GaussianSplat

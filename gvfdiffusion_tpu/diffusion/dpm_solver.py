@@ -51,12 +51,15 @@ class NoiseScheduleVP:
         if idx > 0:
             log_alphas = log_alphas[:-idx]
         n = len(log_alphas)
-        t_array = np.linspace(0.0, 1.0, len(betas) + 1)[1 : n + 1]
+        # the t grid is rebuilt over the CLIPPED length — total_N shrinks with
+        # it (reference model/dpmsolver.py:108-110: linspace over total_N
+        # AFTER numerical_clip_alpha)
+        t_array = np.linspace(0.0, 1.0, n + 1)[1:]
         return cls(
             t_array=jnp.asarray(t_array, jnp.float32),
             log_alpha_array=jnp.asarray(log_alphas, jnp.float32),
             T=1.0,
-            total_N=len(betas),
+            total_N=n,
         )
 
     @classmethod
@@ -287,13 +290,16 @@ class DPMSolver:
         )
         return x_t, model_s, model_s1
 
-    def singlestep_update(self, x, s, t, order: int):
+    def singlestep_update(self, x, s, t, order: int, r1=None, r2=None):
         if order == 1:
             return self.first_update(x, s, t, self.model_fn(x, s))
         if order == 2:
-            return self.singlestep_second_update(x, s, t)[0]
+            return self.singlestep_second_update(x, s, t, r1=0.5 if r1 is None else r1)[0]
         if order == 3:
-            return self.singlestep_third_update(x, s, t)[0]
+            return self.singlestep_third_update(
+                x, s, t, r1=1.0 / 3.0 if r1 is None else r1,
+                r2=2.0 / 3.0 if r2 is None else r2,
+            )[0]
         raise ValueError(order)
 
     def get_orders_and_timesteps_for_singlestep_solver(
@@ -438,14 +444,25 @@ class DPMSolver:
             if method == "singlestep_fixed":
                 k = steps // order
                 orders = [order] * k
-                ts = self.get_time_steps(skip_type, t_T, t_0, k)
+                ts_np = self.get_time_steps(skip_type, t_T, t_0, k)
             else:
-                ts, orders = self.get_orders_and_timesteps_for_singlestep_solver(
+                ts_np, orders = self.get_orders_and_timesteps_for_singlestep_solver(
                     steps, order, skip_type, t_T, t_0
                 )
-            ts = jnp.asarray(ts, jnp.float32)
             for i, o in enumerate(orders):
-                x = self.singlestep_update(x, ts[i], ts[i + 1], o)
+                s_i, t_i = float(ts_np[i]), float(ts_np[i + 1])
+                # intermediate-point ratios from an inner skip_type grid in
+                # lambda space (reference model/dpmsolver.py:1239-1245)
+                inner = jnp.asarray(
+                    self.get_time_steps(skip_type, s_i, t_i, max(o, 1)), jnp.float32
+                )
+                lam = self.ns.marginal_lambda(inner)
+                h = lam[-1] - lam[0]
+                r1 = None if o <= 1 else (lam[1] - lam[0]) / h
+                r2 = None if o <= 2 else (lam[2] - lam[0]) / h
+                x = self.singlestep_update(
+                    x, jnp.float32(s_i), jnp.float32(t_i), o, r1=r1, r2=r2
+                )
             return x
         assert method == "multistep", f"unsupported method {method}"
         assert steps >= order

@@ -197,13 +197,19 @@ class GaussianDiffusion:
         t: jnp.ndarray,
         clip_denoised: bool = True,
         denoised_fn: Optional[Callable] = None,
-        dynamic_threshold: Optional[float] = None,
+        dynamic_threshold: Optional[float] = 0.99,
         model_kwargs: Optional[Dict[str, Any]] = None,
     ) -> Dict[str, jnp.ndarray]:
         """One reverse-step distribution p(x_{t-1} | x_t).
 
         `model(x, t_scaled, **kwargs)` returns channels-last output; for
         learned variance types the last axis is 2C (mean ++ var values).
+
+        clip_denoised matches the reference exactly (model/gaussian_diffusion.py
+        :198-215, 340-346): with dynamic_threshold set (default 0.99) the
+        predicted x0 is clipped to its per-sample |x0| quantile — NOT
+        rescaled, NOT clamped to [-1,1]; with dynamic_threshold=None it falls
+        back to the vanilla [-1,1] clamp.
         """
         model_kwargs = model_kwargs or {}
         model_output = model(x, self.scaled_model_t(t), **model_kwargs)
@@ -231,14 +237,16 @@ class GaussianDiffusion:
         def process_xstart(x0):
             if denoised_fn is not None:
                 x0 = denoised_fn(x0)
-            if dynamic_threshold is not None:
-                # percentile-of-|x0| thresholding (Imagen)
-                flat = jnp.abs(x0.reshape(x0.shape[0], -1))
-                s = jnp.quantile(flat, dynamic_threshold, axis=1)
-                s = jnp.maximum(s, 1.0).reshape((-1,) + (1,) * (x0.ndim - 1))
-                x0 = jnp.clip(x0, -s, s) / s
             if clip_denoised:
-                x0 = jnp.clip(x0, -1.0, 1.0)
+                if dynamic_threshold is not None:
+                    # per-sample quantile clip of |x0| (reference
+                    # dynamic_thresholding, model/gaussian_diffusion.py:198)
+                    flat = jnp.abs(x0.reshape(x0.shape[0], -1))
+                    s = jnp.quantile(flat, dynamic_threshold, axis=1)
+                    s = s.reshape((-1,) + (1,) * (x0.ndim - 1))
+                    x0 = jnp.clip(x0, -s, s)
+                else:
+                    x0 = jnp.clip(x0, -1.0, 1.0)
             return x0
 
         if self.mean_type == "xprev":

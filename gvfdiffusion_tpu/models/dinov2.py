@@ -45,7 +45,7 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # DINOv2 uses exact-erf GELU
         return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
 
 

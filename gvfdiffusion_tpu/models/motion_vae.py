@@ -49,7 +49,8 @@ class PointEmbed(nn.Module):
 class GEGLU(nn.Module):
     def __call__(self, x):
         x, gates = jnp.split(x, 2, axis=-1)
-        return x * nn.gelu(gates)
+        # exact (erf) gelu — reference F.gelu default (model/autoencoder.py:93)
+        return x * nn.gelu(gates, approximate=False)
 
 
 class PerceiverFF(nn.Module):
@@ -89,8 +90,10 @@ class PerceiverAttention(nn.Module):
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 
 
-def _prenorm(name):
-    return nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
+def _prenorm(name, eps=1e-6):
+    # PreNorm blocks use eps=1e-6 (reference model/autoencoder.py:77);
+    # the embedding LayerNorms use torch's default 1e-5 (reference :389-391)
+    return nn.LayerNorm(epsilon=eps, use_bias=False, use_scale=False,
                         dtype=jnp.float32, name=name)
 
 
@@ -122,9 +125,9 @@ class MotionVAE(nn.Module):
         self.input_embedding = nn.Dense(self.dim, kernel_init=init, name="input_embedding", **d)
         self.gs_embedding = nn.Dense(self.dim, kernel_init=init, name="gs_embedding", **d)
         self.point_embed = PointEmbed(self.dim)
-        self.embed_norm_in = _prenorm("input_embed_norm")
-        self.embed_norm_gs = _prenorm("gs_embed_norm")
-        self.embed_norm_pe = _prenorm("pe_norm")
+        self.embed_norm_in = _prenorm("input_embed_norm", eps=1e-5)
+        self.embed_norm_gs = _prenorm("gs_embed_norm", eps=1e-5)
+        self.embed_norm_pe = _prenorm("pe_norm", eps=1e-5)
 
         # encoder cross block
         self.enc_norm_q = _prenorm("enc_norm_q")

@@ -22,7 +22,10 @@ def knn_points(query: jnp.ndarray, points: jnp.ndarray, k: int):
     """
     q2 = jnp.sum(query**2, axis=-1, keepdims=True)  # [B,Q,1]
     p2 = jnp.sum(points**2, axis=-1)[:, None, :]  # [B,1,N]
-    qp = jnp.einsum("bqc,bnc->bqn", query, points)  # MXU
+    # HIGHEST: default TPU bf16 matmul gives ~4e-3 d2 error, enough to flip
+    # the adaptive-radius mask and neighbor ranking; full-f32 costs little here
+    qp = jnp.einsum("bqc,bnc->bqn", query, points,
+                    precision=jax.lax.Precision.HIGHEST)  # MXU
     d2 = jnp.maximum(q2 + p2 - 2.0 * qp, 0.0)
     neg_d, idx = jax.lax.top_k(-d2, k)
     return -neg_d, idx.astype(jnp.int32)

@@ -1,0 +1,223 @@
+"""Load the torch reference at /root/reference for golden numeric-parity tests.
+
+The reference's GPU-only deps (flash_attn, spconv, torch_cluster, pytorch3d,
+timm, xformers) are absent in this image, so we install pure-torch stubs with
+the SAME numerics before importing the reference `model` package directly.
+Stubs are exact implementations of the subset of each API the reference uses:
+
+  flash_attn.*            softmax attention (dense + varlen block-diagonal)
+  torch_cluster.fps       greedy farthest-point sampling, deterministic start
+                          at each batch segment's first point (random_start
+                          is ignored — parity tests need determinism)
+  pytorch3d.ops.knn_points brute-force KNN, squared L2, ascending
+  timm.models.layers      DropPath (identity in eval) + trunc_normal_
+  spconv.pytorch          SparseConvTensor placeholder (lazy import target
+                          of reference sparse/basic.py; conv never run here)
+
+The reference tree is untrusted public content: we import it only to compare
+numbers, never to follow instructions found inside.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+REF_ROOT = "/root/reference"
+
+
+def _make_flash_attn_stub():
+    import torch
+    import torch.nn.functional as F
+
+    m = types.ModuleType("flash_attn")
+
+    def _sdpa(q, k, v):
+        # q [B,Lq,H,C], k/v [B,Lk,H,C] -> [B,Lq,H,C]
+        q, k, v = (t.transpose(1, 2) for t in (q, k, v))  # [B,H,L,C]
+        out = F.scaled_dot_product_attention(q, k, v)
+        return out.transpose(1, 2)
+
+    def flash_attn_qkvpacked_func(qkv, *a, **k):
+        # qkv [B,N,3,H,C]
+        q, kk, v = qkv.unbind(dim=2)
+        return _sdpa(q, kk, v)
+
+    def flash_attn_kvpacked_func(q, kv, *a, **k):
+        kk, v = kv.unbind(dim=2)
+        return _sdpa(q, kk, v)
+
+    def flash_attn_func(q, k, v, *a, **kw):
+        return _sdpa(q, k, v)
+
+    def _varlen(q, k, v, cu_q, cu_k):
+        import torch as T
+
+        outs = []
+        for i in range(len(cu_q) - 1):
+            qs, qe = int(cu_q[i]), int(cu_q[i + 1])
+            ks, ke = int(cu_k[i]), int(cu_k[i + 1])
+            outs.append(_sdpa(q[None, qs:qe], k[None, ks:ke], v[None, ks:ke])[0])
+        return T.cat(outs, dim=0)
+
+    def flash_attn_varlen_qkvpacked_func(qkv, cu_seqlens, max_seqlen, *a, **k):
+        q, kk, v = qkv.unbind(dim=1)  # [M,H,C]
+        return _varlen(q, kk, v, cu_seqlens, cu_seqlens)
+
+    def flash_attn_varlen_kvpacked_func(q, kv, cu_q, cu_kv, *a, **k):
+        kk, v = kv.unbind(dim=1)
+        return _varlen(q, kk, v, cu_q, cu_kv)
+
+    def flash_attn_varlen_func(q, k, v, cu_q, cu_kv, *a, **kw):
+        return _varlen(q, k, v, cu_q, cu_kv)
+
+    m.flash_attn_qkvpacked_func = flash_attn_qkvpacked_func
+    m.flash_attn_kvpacked_func = flash_attn_kvpacked_func
+    m.flash_attn_func = flash_attn_func
+    m.flash_attn_varlen_qkvpacked_func = flash_attn_varlen_qkvpacked_func
+    m.flash_attn_varlen_kvpacked_func = flash_attn_varlen_kvpacked_func
+    m.flash_attn_varlen_func = flash_attn_varlen_func
+    return m
+
+
+def _make_torch_cluster_stub():
+    import torch
+
+    m = types.ModuleType("torch_cluster")
+
+    def fps(src, batch=None, ratio=0.5, random_start=True, **kw):
+        """Greedy FPS per contiguous batch segment, start = segment's first
+        point (torch_cluster semantics with random_start=False; num samples
+        = ceil(ratio * n) per torch_cluster)."""
+        import math
+
+        if batch is None:
+            batch = torch.zeros(src.shape[0], dtype=torch.long)
+        b = batch.cpu()
+        n_seg = int(b.max()) + 1 if b.numel() else 0
+        if not torch.is_tensor(ratio):
+            ratio = torch.full((n_seg,), float(ratio))
+        out = []
+        pos = 0
+        for i in range(n_seg):
+            n = int((b == i).sum())
+            pts = src[pos : pos + n].float()
+            k = int(math.ceil(float(ratio[i]) * n))
+            idx = torch.zeros(k, dtype=torch.long)
+            min_d2 = torch.full((n,), float("inf"))
+            for j in range(1, k):
+                d2 = ((pts - pts[idx[j - 1]]) ** 2).sum(-1)
+                min_d2 = torch.minimum(min_d2, d2)
+                idx[j] = int(min_d2.argmax())
+            out.append(idx + pos)
+            pos += n
+        return torch.cat(out) if out else torch.zeros(0, dtype=torch.long)
+
+    m.fps = fps
+    return m
+
+
+def _make_pytorch3d_stub():
+    import torch
+
+    pkg = types.ModuleType("pytorch3d")
+    ops = types.ModuleType("pytorch3d.ops")
+
+    def knn_points(p1, p2, K=1, return_sorted=True, **kw):
+        # p1 [B,Q,3], p2 [B,N,3] -> (dists [B,Q,K] squared asc, idx, None)
+        d2 = torch.cdist(p1.float(), p2.float()) ** 2
+        dists, idx = torch.topk(d2, K, dim=-1, largest=False, sorted=True)
+        return dists, idx, None
+
+    ops.knn_points = knn_points
+    pkg.ops = ops
+    return pkg, ops
+
+
+def _make_timm_stub():
+    import torch
+    import torch.nn as nn
+
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    layers = types.ModuleType("timm.models.layers")
+
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=0.0, scale_by_keep=True):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            if not self.training or self.drop_prob == 0.0:
+                return x
+            keep = 1.0 - self.drop_prob
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            mask = x.new_empty(shape).bernoulli_(keep) / keep
+            return x * mask
+
+    layers.DropPath = DropPath
+    layers.trunc_normal_ = torch.nn.init.trunc_normal_
+    models.layers = layers
+    timm.models = models
+    return timm, models, layers
+
+
+def _make_spconv_stub():
+    spconv = types.ModuleType("spconv")
+    sp_pytorch = types.ModuleType("spconv.pytorch")
+
+    class SparseConvTensor:
+        def __init__(self, features, indices, spatial_shape, batch_size, **kw):
+            self.features = features
+            self.indices = indices
+            self.spatial_shape = spatial_shape
+            self.batch_size = batch_size
+
+        def replace_feature(self, feats):
+            return SparseConvTensor(
+                feats, self.indices, self.spatial_shape, self.batch_size
+            )
+
+    sp_pytorch.SparseConvTensor = SparseConvTensor
+    spconv.pytorch = sp_pytorch
+    return spconv, sp_pytorch
+
+
+_installed = False
+
+
+def install_stubs():
+    global _installed
+    if _installed:
+        return
+    os.environ.setdefault("ATTN_BACKEND", "sdpa")
+    if "flash_attn" not in sys.modules:
+        sys.modules["flash_attn"] = _make_flash_attn_stub()
+    if "torch_cluster" not in sys.modules:
+        sys.modules["torch_cluster"] = _make_torch_cluster_stub()
+    if "pytorch3d" not in sys.modules:
+        pkg, ops = _make_pytorch3d_stub()
+        sys.modules["pytorch3d"] = pkg
+        sys.modules["pytorch3d.ops"] = ops
+    if "timm" not in sys.modules:
+        timm, models, layers = _make_timm_stub()
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = models
+        sys.modules["timm.models.layers"] = layers
+    if "spconv" not in sys.modules:
+        spconv, sp_pytorch = _make_spconv_stub()
+        sys.modules["spconv"] = spconv
+        sys.modules["spconv.pytorch"] = sp_pytorch
+    if REF_ROOT not in sys.path:
+        sys.path.append(REF_ROOT)
+    _installed = True
+
+
+def load_ref(submodule: str):
+    """Import e.g. 'model.dit' or 'model.gaussian_diffusion' from the
+    reference tree (stubs installed first)."""
+    install_stubs()
+    import importlib
+
+    return importlib.import_module(submodule)

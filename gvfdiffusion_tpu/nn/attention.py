@@ -18,7 +18,19 @@ import jax.numpy as jnp
 
 import os
 
-_ATTN_IMPL = os.environ.get("GVF_ATTN", "xla")  # "xla" | "einsum"
+# "fused": Pallas VMEM-resident kernel (TPU; falls back to xla off-TPU or on
+#          unsupported shapes) — the default, it removes the HBM round-trips
+#          of the [Lq, Lk] score matrix that dominate the narrow-head loop
+# "xla":   jax.nn.dot_product_attention
+# "einsum": plain two-einsum softmax attention
+_ATTN_IMPL = os.environ.get("GVF_ATTN", "fused")
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 
 def scaled_dot_product_attention(
@@ -29,10 +41,15 @@ def scaled_dot_product_attention(
 ) -> jnp.ndarray:
     """[B, Lq, H, C] x [B, Lk, H, C] -> [B, Lq, H, C].
 
-    GVF_ATTN=einsum selects a plain two-einsum softmax attention — with this
-    model family's narrow head_dim (32) the fused XLA attention path is not
-    always the fastest lowering; the flag lets benchmarks pick per-workload.
+    GVF_ATTN picks the implementation; with the model family's narrow
+    head_dim (32) the fused Pallas kernel is the fast path (see
+    ops/fused_attention.py), masked/odd-shaped calls use the XLA lowering.
     """
+    if _ATTN_IMPL == "fused" and mask is None and _on_tpu():
+        from ..ops import fused_attention as fa
+
+        if fa.supports(q.shape, k.shape):
+            return fa.fused_attention(q, k, v, q.shape[-1] ** -0.5)
     if _ATTN_IMPL == "einsum":
         scale = q.shape[-1] ** -0.5
         logits = jnp.einsum(

@@ -75,3 +75,111 @@ class SparseConv3d(nn.Module):
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + b.astype(self.dtype)
         return x.replace_feats(out)
+
+
+class SparseStridedConv3d(nn.Module):
+    """Strided (non-submanifold) sparse conv (reference
+    sparse/conv/conv_spconv.py:14 wrapping spconv.SparseConv3d, used by the
+    SLat-flow io-blocks to move between 64^3 and 32^3 structures).
+
+    TPU-native contract: the output structure is the deduplicated parent set
+    coords//stride (static [B, L] capacity, like sparse_downsample); features
+    at parent o are the full k^3 strided window sum_kof W[kof] . in[o*s +
+    kof - pad]. The reference caches a backward permutation so
+    SparseInverseConv3d can restore spconv's original order
+    (conv_spconv.py:24-44); with padded static layouts no permutation is
+    needed — the inverse takes the pre-stride structure explicitly.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 2
+    padding: int = 1
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: SparseVoxels) -> SparseVoxels:
+        from .ops import sparse_downsample
+
+        k, s, p = self.kernel_size, self.stride, self.padding
+        c_in = x.channels
+        parents = sparse_downsample(x, s).parents
+        offsets = [(i, j, l) for i in range(k) for j in range(k) for l in range(k)]
+        w = self.param(
+            "kernel", self.kernel_init, (len(offsets), c_in, self.features)
+        ).astype(self.dtype)
+        grid = x.index_grid()
+        r = x.resolution
+        out = jnp.zeros(parents.feats.shape[:2] + (self.features,), jnp.float32)
+        for oi, off in enumerate(offsets):
+            nc = parents.coords * s + jnp.asarray(off, jnp.int32) - p
+            inb = jnp.all((nc >= 0) & (nc < r), axis=-1) & parents.valid
+            flat = jnp.clip(nc[..., 0] * r * r + nc[..., 1] * r + nc[..., 2], 0, r**3 - 1)
+            slot = jnp.take_along_axis(grid, flat, axis=1)
+            slot = jnp.where(inb, slot, -1)
+            nf = jnp.take_along_axis(x.feats, jnp.maximum(slot, 0)[..., None], axis=1)
+            nf = (nf * (slot >= 0)[..., None].astype(nf.dtype)).astype(self.dtype)
+            out = out + jnp.einsum(
+                "blc,cf->blf", nf, w[oi], preferred_element_type=jnp.float32
+            )
+        out = out.astype(self.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + b.astype(self.dtype)
+        return parents.replace_feats(out)
+
+
+class SparseInverseConv3d(nn.Module):
+    """Inverse (transposed) strided sparse conv (reference
+    sparse/conv/conv_spconv.py:47-76 wrapping spconv.SparseInverseConv3d).
+
+    Scatters low-res features back onto an explicit pre-stride structure:
+    out[i] = sum over kof with (i + pad - kof) % s == 0 of
+    W[kof] . y[(i + pad - kof) // s]. The reference recovers spconv's cached
+    ordering via the stored permutation; here the caller passes `target`
+    (the SparseVoxels whose structure the paired strided conv consumed).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 2
+    padding: int = 1
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y: SparseVoxels, target: SparseVoxels) -> SparseVoxels:
+        k, s, p = self.kernel_size, self.stride, self.padding
+        c_in = y.channels
+        offsets = [(i, j, l) for i in range(k) for j in range(k) for l in range(k)]
+        w = self.param(
+            "kernel", self.kernel_init, (len(offsets), c_in, self.features)
+        ).astype(self.dtype)
+        grid = y.index_grid()
+        r_low = y.resolution
+        out = jnp.zeros(target.feats.shape[:2] + (self.features,), jnp.float32)
+        for oi, off in enumerate(offsets):
+            num = target.coords + p - jnp.asarray(off, jnp.int32)
+            divisible = jnp.all(num % s == 0, axis=-1)
+            oc = num // s
+            inb = jnp.all((oc >= 0) & (oc < r_low), axis=-1)
+            ok = divisible & inb & target.valid
+            flat = jnp.clip(
+                oc[..., 0] * r_low * r_low + oc[..., 1] * r_low + oc[..., 2],
+                0, r_low**3 - 1,
+            )
+            slot = jnp.take_along_axis(grid, flat, axis=1)
+            slot = jnp.where(ok, slot, -1)
+            nf = jnp.take_along_axis(y.feats, jnp.maximum(slot, 0)[..., None], axis=1)
+            nf = (nf * (slot >= 0)[..., None].astype(nf.dtype)).astype(self.dtype)
+            out = out + jnp.einsum(
+                "blc,cf->blf", nf, w[oi], preferred_element_type=jnp.float32
+            )
+        out = out.astype(self.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + b.astype(self.dtype)
+        return target.replace_feats(out)

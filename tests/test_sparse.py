@@ -241,3 +241,87 @@ def test_linear_and_layernorm():
     p = ln.init(jax.random.PRNGKey(0), x)
     z = ln.apply(p, x)
     assert np.isfinite(np.asarray(z.feats)).all()
+
+
+def test_strided_conv_matches_dense():
+    """SparseStridedConv3d == dense strided conv at the parent positions."""
+    from gvfdiffusion_tpu.sparse.conv import SparseStridedConv3d
+
+    x = random_sparse(jax.random.PRNGKey(0), b=2, l=64, c=4, res=16)
+    mod = SparseStridedConv3d(features=6, kernel_size=3, stride=2, padding=1)
+    params = mod.init(jax.random.PRNGKey(1), x)
+    out = mod.apply(params, x)
+    assert out.resolution == 8
+
+    dense = np.asarray(x.to_dense())  # [B, R, R, R, C]
+    w = np.asarray(params["params"]["kernel"]).reshape(3, 3, 3, 4, 6)
+    b = np.asarray(params["params"]["bias"])
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(dense), jnp.asarray(w),
+        window_strides=(2, 2, 2), padding=[(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    ) + b
+    ref = np.asarray(ref)
+    oc = np.asarray(out.coords)
+    ov = np.asarray(out.valid)
+    of = np.asarray(out.feats)
+    for bi in range(2):
+        for li in range(out.capacity):
+            if ov[bi, li]:
+                expect = ref[bi, oc[bi, li, 0], oc[bi, li, 1], oc[bi, li, 2]]
+                np.testing.assert_allclose(of[bi, li], expect, atol=1e-4)
+
+
+def test_inverse_conv_matches_dense_scatter():
+    """SparseInverseConv3d == manual dense transposed-conv scatter at the
+    target (pre-stride) positions."""
+    from gvfdiffusion_tpu.sparse.conv import SparseInverseConv3d
+    from gvfdiffusion_tpu.sparse.ops import sparse_downsample
+
+    x = random_sparse(jax.random.PRNGKey(2), b=2, l=64, c=4, res=16)
+    y = sparse_downsample(x, 2).parents  # low-res features + structure
+    mod = SparseInverseConv3d(features=5, kernel_size=3, stride=2, padding=1)
+    params = mod.init(jax.random.PRNGKey(3), y, x)
+    out = mod.apply(params, y, x)
+    assert out.resolution == 16
+
+    # manual scatter: dense_out[o*s + kof - pad] += W[kof] . y[o]
+    w = np.asarray(params["params"]["kernel"]).reshape(3, 3, 3, 4, 5)
+    bias = np.asarray(params["params"]["bias"])
+    dense_out = np.zeros((2, 16, 16, 16, 5), np.float32)
+    yc, yv, yf = np.asarray(y.coords), np.asarray(y.valid), np.asarray(y.feats)
+    for bi in range(2):
+        for li in range(y.capacity):
+            if not yv[bi, li]:
+                continue
+            o = yc[bi, li]
+            for i in range(3):
+                for j in range(3):
+                    for l3 in range(3):
+                        t = o * 2 + np.array([i, j, l3]) - 1
+                        if (t >= 0).all() and (t < 16).all():
+                            dense_out[bi, t[0], t[1], t[2]] += yf[bi, li] @ w[i, j, l3]
+    oc, ov, of = np.asarray(out.coords), np.asarray(out.valid), np.asarray(out.feats)
+    for bi in range(2):
+        for li in range(out.capacity):
+            if ov[bi, li]:
+                expect = dense_out[bi, oc[bi, li, 0], oc[bi, li, 1], oc[bi, li, 2]] + bias
+                np.testing.assert_allclose(of[bi, li], expect, atol=1e-4)
+
+
+def test_strided_inverse_structure_roundtrip():
+    """down (strided conv) then up (inverse conv) restores the exact original
+    structure — the contract the reference's permutation cache guarantees
+    (sparse/conv/conv_spconv.py:24-74)."""
+    from gvfdiffusion_tpu.sparse.conv import SparseInverseConv3d, SparseStridedConv3d
+
+    x = random_sparse(jax.random.PRNGKey(4), b=2, l=48, c=4, res=16)
+    down = SparseStridedConv3d(features=8)
+    up = SparseInverseConv3d(features=4)
+    pd = down.init(jax.random.PRNGKey(5), x)
+    y = down.apply(pd, x)
+    pu = up.init(jax.random.PRNGKey(6), y, x)
+    z = up.apply(pu, y, x)
+    np.testing.assert_array_equal(np.asarray(z.coords), np.asarray(x.coords))
+    np.testing.assert_array_equal(np.asarray(z.valid), np.asarray(x.valid))
+    assert z.channels == 4 and z.resolution == x.resolution

@@ -1,18 +1,28 @@
-"""Benchmark: core video->4D denoise workload on the current device.
+"""Benchmark: end-to-end video->4D inference workload on the current device.
 
-Times the dominant inference compute — a 32-step DPM-Solver++ multistep
-denoise of the deformation latent with the full-size DiT (12x512, dual-scale
-3-way CFG batch), the hot loop of inference_dpm_latent.py (reference
-model/dpmsolver.py:1188-1230 + model/dit.py:449). The whole chain compiles to
-one fused XLA graph via lax.scan.
+Two benches:
+  1. `denoise` — the 32-step DPM-Solver++ multistep denoise of the deformation
+     latent with the full-size DiT (12x512, dual-scale 3-way CFG), the hot
+     loop of inference_dpm_latent.py (reference model/dpmsolver.py:1188-1230 +
+     model/dit.py:449).
+  2. `e2e` (default) — BASELINE config #1: the full minimal in-the-wild
+     sample at reference shapes (inference_dpm_latent.py:41-273): DINOv2
+     video encode -> TRELLIS canonical generation (ss-flow 12 Euler steps
+     cfg 7.5, ss-decode, slat-flow 12 steps cfg 3, GS decode) -> azimuth
+     alignment (360 rendered candidates) -> 32-step CFG DPM denoise ->
+     motion-VAE delta decode -> 24-frame 512^2 render sweep. Random weights,
+     fixed reference shapes — a latency benchmark, not a fidelity one.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline = (10 s target from BASELINE.md) / measured — >1 means the core
-denoise fits the end-to-end budget with headroom.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+vs_baseline = (10 s end-to-end target from BASELINE.md) / measured.
+Per-stage latencies go to stderr and into the JSON's "stages" field.
+
+Set GVF_BENCH=denoise to run only the denoise bench.
 """
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -25,9 +35,35 @@ jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
+import numpy as np
 
 
-def main():
+def _sync(out):
+    """Force completion: fetch ONE element to host. On the axon tunnel,
+    jax.block_until_ready can return before remote execution finishes; a
+    device->host read of any output element cannot (the whole program must
+    have run). Fetching a single element keeps transfer cost ~0."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
+def _time_stage(name, fn, *args, iters=2):
+    """Compile + warm once, then min of `iters` synced calls."""
+    t0 = time.perf_counter()
+    _sync(fn(*args))
+    print(f"[{name}] compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _sync(fn(*args))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    print(f"[{name}] {dt*1e3:.0f} ms", file=sys.stderr)
+    return dt
+
+
+def build_denoise():
+    """The DPM denoise stage (full-size DiT, 3-way dual-scale CFG)."""
     from gvfdiffusion_tpu.diffusion.dpm_solver import (
         DPMSolver, NoiseScheduleVP, model_wrapper,
     )
@@ -75,20 +111,14 @@ def main():
                 cross_kv=cross_kv,
             )
 
-        # hoist the loop-invariant cross-attention KV out of the denoise loop:
-        # build the 3-way CFG conditioning batch once and precompute per-block
-        # K/V (~20% of per-step FLOPs saved)
+        # hoist the loop-invariant cross-attention KV out of the denoise loop
         full_uncond = dict(cond, static_latent=jnp.zeros_like(cond["static_latent"]))
-        c3 = {
-            k: jnp.concatenate([full_uncond[k], cond[k], cond[k]])
-            for k in cond
-        }
+        c3 = {k: jnp.concatenate([full_uncond[k], cond[k], cond[k]]) for k in cond}
         kv = model.apply(
             params, jnp.zeros((3 * B, T, N, C)), jnp.zeros((3 * B,)),
             c3["cond_images"], c3["static_latent"], c3["positions"],
             kv_only=True,
         )
-
         model_fn = model_wrapper(
             raw_model, ns, model_type="v", guidance_type="classifier-free",
             condition=cond, unconditional_condition=cond,
@@ -97,30 +127,192 @@ def main():
         solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++")
         return solver.sample(noise, steps=steps, order=2, method="multistep")
 
-    import sys
-
     noise = jax.random.normal(ks[5], (B, T, N, C))
-    t_c0 = time.perf_counter()
-    out = sample(noise, params, cond)  # compile + first run
-    jax.block_until_ready(out)
-    print(f"first call (compile+run): {time.perf_counter()-t_c0:.1f}s",
-          file=sys.stderr)
+    return sample, noise, params, cond
 
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = sample(noise, params, cond)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    print(f"per-iter: {[round(t, 3) for t in times]}", file=sys.stderr)
-    dt = min(times)
 
-    print(json.dumps({
-        "metric": "dpm32_denoise_latency_b1_cfg3",
-        "value": round(dt, 4),
-        "unit": "s",
-        "vs_baseline": round(10.0 / dt, 3),
-    }))
+def bench_denoise():
+    sample, noise, params, cond = build_denoise()
+    dt = _time_stage("dpm_denoise", sample, noise, params, cond, iters=3)
+    return dt
+
+
+def bench_e2e():
+    """BASELINE config #1 at reference shapes, random weights."""
+    from gvfdiffusion_tpu.diffusion.flow_euler import (
+        FlowEulerCfgSampler, FlowEulerGuidanceIntervalSampler,
+    )
+    from gvfdiffusion_tpu.models.dinov2 import DinoV2
+    from gvfdiffusion_tpu.models.motion_vae import MotionVAE
+    from gvfdiffusion_tpu.models.trellis.slat_decoders import SLatGaussianDecoder
+    from gvfdiffusion_tpu.models.trellis.slat_flow import SLatFlowModel
+    from gvfdiffusion_tpu.models.trellis.ss_flow import SparseStructureFlowModel
+    from gvfdiffusion_tpu.models.trellis.ss_vae import SparseStructureDecoder
+    from gvfdiffusion_tpu.render.renderer import GaussianRenderer, RenderOptions
+    from gvfdiffusion_tpu.representations.camera import orbit_camera
+    from gvfdiffusion_tpu.sparse.tensor import SparseVoxels
+    from gvfdiffusion_tpu.utils.inference_utils import align_gaussian_to_canonical
+
+    dtype = jnp.bfloat16 if jax.devices()[0].platform == "tpu" else jnp.float32
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    stages = {}
+
+    T_FRAMES = 32          # video frames (conditioning + deformation latent)
+    RENDER_FRAMES = 24     # final render sweep
+    L_VOX = 16384          # SLat active-voxel budget at 64^3
+    G = L_VOX * 8          # gaussians (8 per voxel, slat decoder)
+
+    # ---- stage 1: DINOv2 ViT-L/14 over the 32-frame video ----------------
+    dino = DinoV2(dtype=dtype)
+    frames = jnp.asarray(rng.standard_normal((T_FRAMES, 518, 518, 3)), dtype)
+    dparams = dino.init(key, frames[:1])
+    dino_apply = jax.jit(lambda p, f: dino.apply(p, f))
+    stages["dinov2_video"] = _time_stage("dinov2_video", dino_apply, dparams, frames)
+    cond_tokens = dino.apply(dparams, frames[:1])
+    if isinstance(cond_tokens, tuple):
+        cond_tokens = cond_tokens[0]
+    cond_1 = jnp.asarray(cond_tokens[:1], jnp.float32)  # [1, 1370, 1024]
+
+    # ---- stage 2: sparse-structure flow (12 Euler steps, cfg 7.5) --------
+    ss_flow = SparseStructureFlowModel(dtype=dtype)
+    ss_x = jnp.asarray(rng.standard_normal((1, 16, 16, 16, 8)), jnp.float32)
+    ss_params = ss_flow.init(key, ss_x, jnp.zeros((1,)), cond_1)
+
+    def ss_sample(params, noise, cond):
+        sampler = FlowEulerCfgSampler()
+        model = lambda x, t, cc: ss_flow.apply(params, x, t, cc)
+        return sampler.sample(
+            model, noise, cond=cond, neg_cond=jnp.zeros_like(cond),
+            steps=12, cfg_strength=7.5,
+        )["samples"]
+
+    ss_sample_j = jax.jit(ss_sample)
+    stages["ss_flow_12"] = _time_stage("ss_flow_12", ss_sample_j, ss_params, ss_x, cond_1)
+
+    # ---- stage 3: sparse-structure decode (16^3 latent -> 64^3 occ) ------
+    ss_dec = SparseStructureDecoder(dtype=dtype)
+    ss_dec_params = ss_dec.init(key, ss_x)
+    ss_dec_j = jax.jit(lambda p, z: ss_dec.apply(p, z))
+    stages["ss_decode"] = _time_stage("ss_decode", ss_dec_j, ss_dec_params, ss_x)
+
+    # ---- stage 4: SLat flow (12 steps, cfg 3, guidance interval) ---------
+    # structure: L_VOX active voxels at 64^3; torso compacted to 4096 slots
+    lin = rng.choice(64**3, size=L_VOX, replace=False)
+    coords = np.stack([lin // 4096, (lin // 64) % 64, lin % 64], -1)
+    structure = SparseVoxels(
+        feats=jnp.zeros((1, L_VOX, 8)),
+        coords=jnp.asarray(coords[None], jnp.int32),
+        valid=jnp.ones((1, L_VOX), bool),
+        resolution=64,
+    )
+    slat_flow = SLatFlowModel(torso_capacity=4096, dtype=dtype)
+    slat_params = slat_flow.init(key, structure, jnp.zeros((1,)), cond_1)
+
+    def slat_sample(params, feats0, cond):
+        sampler = FlowEulerGuidanceIntervalSampler()
+
+        def model(x_feats, t, cc):
+            x = structure.replace(feats=x_feats)
+            return slat_flow.apply(params, x, t, cc).feats
+
+        return sampler.sample(
+            model, feats0, cond=cond, neg_cond=jnp.zeros_like(cond),
+            steps=12, cfg_strength=3.0, cfg_interval=(0.5, 1.0),
+        )["samples"]
+
+    noise_feats = jnp.asarray(rng.standard_normal((1, L_VOX, 8)), jnp.float32)
+    slat_sample_j = jax.jit(slat_sample)
+    stages["slat_flow_12"] = _time_stage(
+        "slat_flow_12", slat_sample_j, slat_params, noise_feats, cond_1
+    )
+
+    # ---- stage 5: SLat -> Gaussians decode --------------------------------
+    slat = structure.replace(feats=noise_feats)
+    gs_dec = SLatGaussianDecoder(dtype=dtype)
+    gs_params = gs_dec.init(key, slat)
+    gs_dec_j = jax.jit(lambda p, s: gs_dec.apply(p, s))
+    stages["slat_gs_decode"] = _time_stage("slat_gs_decode", gs_dec_j, gs_params, slat)
+    gs_b, gs_valid = gs_dec.apply(gs_params, slat)
+    gs0 = jax.tree.map(lambda a: a[0], gs_b)
+    valid0 = gs_valid[0]
+
+    # ---- stage 6: azimuth alignment (360 rendered candidates) ------------
+    target = jnp.ones((512, 512, 3))
+
+    def align():
+        return align_gaussian_to_canonical(
+            gs0, target, valid=valid0, n_angles=360,
+        )[1]
+
+    stages["alignment_360"] = _time_stage("alignment_360", align, iters=1)
+
+    # ---- stage 7: DPM denoise (the core 32-step stage) --------------------
+    sample, noise, params, cond = build_denoise()
+    stages["dpm_denoise_32"] = _time_stage(
+        "dpm_denoise_32", sample, noise, params, cond
+    )
+
+    # ---- stage 8: motion-VAE delta decode ---------------------------------
+    vae = MotionVAE(dtype=dtype)
+    z = jnp.asarray(rng.standard_normal((T_FRAMES, 512, 16)), jnp.float32)
+    queries = jnp.asarray(rng.standard_normal((1, G, 14)), jnp.float32)
+    vparams = vae.init(key, z, queries[:, :8192], T_FRAMES, method=vae.decode)
+    vae_dec_j = jax.jit(
+        lambda p, z, q: vae.apply(p, z, q, T_FRAMES, 8192, method=vae.decode)
+    )
+    stages["vae_decode"] = _time_stage("vae_decode", vae_dec_j, vparams, z, queries)
+    deltas = vae_dec_j(vparams, z, queries)
+
+    # ---- stage 9: 24-frame render sweep @512^2 ----------------------------
+    renderer = GaussianRenderer(RenderOptions(
+        near=0.1, far=10.0, bg_color=(1.0, 1.0, 1.0), use_mip=True,
+        backend="binned", max_per_tile=256,
+    ))
+    cam = orbit_camera(0.3, 0.0, height=512, width=512)
+
+    def render_sweep(deltas_24):
+        def one(delta):
+            return renderer.render(gs0, cam, delta=delta, valid=valid0)["render"]
+        return jax.lax.map(one, deltas_24, batch_size=4)
+
+    deltas_24 = deltas[0, :RENDER_FRAMES] * 0.01
+    render_j = jax.jit(render_sweep)
+    stages["render_24f"] = _time_stage("render_24f", render_j, deltas_24)
+
+    total = sum(stages.values())
+    return total, {k: round(v, 4) for k, v in stages.items()}
+
+
+def main():
+    mode = os.environ.get("GVF_BENCH", "e2e")
+    if mode == "denoise":
+        dt = bench_denoise()
+        print(json.dumps({
+            "metric": "dpm32_denoise_latency_b1_cfg3",
+            "value": round(dt, 4),
+            "unit": "s",
+            "vs_baseline": round(10.0 / dt, 3),
+        }))
+        return
+    try:
+        total, stages = bench_e2e()
+        print(json.dumps({
+            "metric": "e2e_video_to_4d_latency_b1",
+            "value": round(total, 4),
+            "unit": "s",
+            "vs_baseline": round(10.0 / total, 3),
+            "stages": stages,
+        }))
+    except Exception as e:  # fall back to the always-green denoise metric
+        print(f"e2e bench failed: {e!r}", file=sys.stderr)
+        dt = bench_denoise()
+        print(json.dumps({
+            "metric": "dpm32_denoise_latency_b1_cfg3",
+            "value": round(dt, 4),
+            "unit": "s",
+            "vs_baseline": round(10.0 / dt, 3),
+        }))
 
 
 if __name__ == "__main__":

@@ -282,8 +282,14 @@ class GaussianDiffusion:
         denoised_fn: Optional[Callable] = None,
         dynamic_threshold: Optional[float] = None,
         model_kwargs: Optional[Dict[str, Any]] = None,
+        inpainting_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        """Ancestral sampling x_T -> x_0."""
+        """Ancestral sampling x_T -> x_0.
+
+        inpainting_mask (reference model/gaussian_diffusion.py:425-459):
+        broadcastable to x; 1 = resample, 0 = keep the current value
+        (known region) at every step.
+        """
         rng, init_rng = jax.random.split(rng)
         x = jax.random.normal(init_rng, shape) if noise is None else noise
 
@@ -297,6 +303,8 @@ class GaussianDiffusion:
             z = jax.random.normal(step_rng, x.shape)
             nonzero = (t != 0).astype(x.dtype)
             x_next = out["mean"] + nonzero * jnp.exp(0.5 * out["log_variance"]) * z
+            if inpainting_mask is not None:
+                x_next = (1 - inpainting_mask) * x + inpainting_mask * x_next
             return (x_next, rng), None
 
         ts = jnp.arange(self.num_timesteps - 1, -1, -1)
@@ -314,8 +322,10 @@ class GaussianDiffusion:
         dynamic_threshold: Optional[float] = None,
         model_kwargs: Optional[Dict[str, Any]] = None,
         eta: float = 0.0,
+        inpainting_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        """DDIM sampling x_T -> x_0."""
+        """DDIM sampling x_T -> x_0 (inpainting_mask as in p_sample_loop,
+        reference model/gaussian_diffusion.py:466-531)."""
         rng, init_rng = jax.random.split(rng)
         x = jax.random.normal(init_rng, shape) if noise is None else noise
 
@@ -340,11 +350,69 @@ class GaussianDiffusion:
             )
             z = jax.random.normal(step_rng, x.shape)
             nonzero = (t != 0).astype(x.dtype)
-            return (mean + nonzero * sigma * z, rng), None
+            x_next = mean + nonzero * sigma * z
+            if inpainting_mask is not None:
+                x_next = (1 - inpainting_mask) * x + inpainting_mask * x_next
+            return (x_next, rng), None
 
         ts = jnp.arange(self.num_timesteps - 1, -1, -1)
         (x, _), _ = jax.lax.scan(step, (x, rng), ts)
         return x
+
+    # -- likelihood evaluation ----------------------------------------------
+
+    def calc_bpd_loop(
+        self,
+        model: Callable,
+        x_start: jnp.ndarray,
+        rng: jax.Array,
+        clip_denoised: bool = True,
+        model_kwargs: Optional[Dict[str, Any]] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """Full variational bound in bits-per-dim (reference
+        model/gaussian_diffusion.py:880-934) as ONE lax.scan over t.
+
+        Returns dict(total_bpd [B], prior_bpd [B], vb/xstart_mse/mse [B, T]),
+        with t descending along axis 1 like the reference's loop order.
+        """
+        B = x_start.shape[0]
+
+        def step(rng, t):
+            rng, krng = jax.random.split(rng)
+            tb = jnp.full((B,), t, dtype=jnp.int32)
+            noise = jax.random.normal(krng, x_start.shape, x_start.dtype)
+            x_t = self.q_sample(x_start, tb, noise)
+            out = self._vb_terms(
+                model, x_start, x_t, tb, clip_denoised, model_kwargs=model_kwargs
+            )
+            xstart_mse = mean_flat((out["pred_xstart"] - x_start) ** 2)
+            eps = self.predict_eps_from_xstart(x_t, tb, out["pred_xstart"])
+            mse = mean_flat((eps - noise) ** 2)
+            return rng, (out["output"], xstart_mse, mse)
+
+        ts = jnp.arange(self.num_timesteps - 1, -1, -1)
+        _, (vb, xstart_mse, mse) = jax.lax.scan(step, rng, ts)
+        vb = jnp.swapaxes(vb, 0, 1)  # [B, T], t descending
+        xstart_mse = jnp.swapaxes(xstart_mse, 0, 1)
+        mse = jnp.swapaxes(mse, 0, 1)
+
+        qt_mean, _, qt_log_var = self.q_mean_variance(
+            x_start, jnp.full((B,), self.num_timesteps - 1, jnp.int32)
+        )
+        from .losses import normal_kl
+
+        prior = normal_kl(
+            qt_mean, jnp.broadcast_to(qt_log_var, x_start.shape),
+            jnp.zeros_like(x_start), jnp.zeros_like(x_start),
+        )
+        prior_bpd = mean_flat(prior) / math.log(2.0)
+        return {
+            "total_bpd": vb.sum(axis=1) + prior_bpd,
+            "prior_bpd": prior_bpd,
+            "vb": vb,
+            "xstart_mse": xstart_mse,
+            "mse": mse,
+        }
 
     # -- training ----------------------------------------------------------
 

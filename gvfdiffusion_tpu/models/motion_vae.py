@@ -210,10 +210,15 @@ class MotionVAE(nn.Module):
 
     # -- decoder -----------------------------------------------------------
 
-    def decode(self, z: jnp.ndarray, queries: jnp.ndarray, num_timesteps: int):
+    def decode(self, z: jnp.ndarray, queries: jnp.ndarray, num_timesteps: int,
+               chunk_size: Optional[int] = None):
         """z [B*T, L, latent_dim]; queries [B, Q, gs_dim] padded static GS.
 
         Returns [B, T, Q, output_dim] per-Gaussian per-frame deltas.
+
+        chunk_size: process the query cross-attention in chunks of this many
+        Gaussians (reference chunking, model/autoencoder.py:552-607) — the
+        [B*T, Q, dim] query embedding at Q~100k Gaussians would not fit HBM.
         """
         T = num_timesteps
         B, Q = queries.shape[:2]
@@ -223,16 +228,26 @@ class MotionVAE(nn.Module):
         ):
             x = attn(norm_a(x)) + x
             x = ff(norm_f(x)) + x
+        ctx = self.dec_norm_ctx(x)
 
-        q_embed = self.embed_norm_gs(self.gs_embedding(queries)) + self.embed_norm_pe(
-            self.point_embed(queries[..., :3])
-        )  # [B, Q, D]
-        q_embed = jnp.broadcast_to(q_embed[:, None], (B, T, Q, self.dim))
-        q_embed = q_embed.reshape(B * T, Q, self.dim)
+        def run_queries(q_chunk):
+            Qc = q_chunk.shape[1]
+            q_embed = self.embed_norm_gs(self.gs_embedding(q_chunk)) + (
+                self.embed_norm_pe(self.point_embed(q_chunk[..., :3]))
+            )  # [B, Qc, D]
+            q_embed = jnp.broadcast_to(q_embed[:, None], (B, T, Qc, self.dim))
+            q_embed = q_embed.reshape(B * T, Qc, self.dim)
+            h = self.dec_cross(self.dec_norm_q(q_embed), ctx)
+            return self.to_outputs(h).reshape(B, T, Qc, self.output_dim)
 
-        h = self.dec_cross(self.dec_norm_q(q_embed), self.dec_norm_ctx(x))
-        out = self.to_outputs(h)
-        return out.reshape(B, T, Q, self.output_dim)
+        if chunk_size is None or Q <= chunk_size:
+            return run_queries(queries)
+        assert Q % chunk_size == 0, "pad queries to a chunk multiple"
+        outs = [
+            run_queries(queries[:, s : s + chunk_size])
+            for s in range(0, Q, chunk_size)
+        ]
+        return jnp.concatenate(outs, axis=2)
 
     def reparameterize(self, rng, mean, logvar):
         std = jnp.exp(0.5 * logvar)

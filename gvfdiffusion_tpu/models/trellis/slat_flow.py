@@ -154,10 +154,16 @@ class SLatFlowModel(nn.Module):
     qk_rms_norm: bool = False
     qk_rms_norm_cross: bool = False
     remat_blocks: int = 0
+    # Compact the padded capacity before the transformer torso: a 2x
+    # downsample leaves ~1/8 of slots valid, and full attention pays
+    # (capacity/valid)^2 on the padding. None = no compaction.
+    torso_capacity: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: SparseVoxels, t: jnp.ndarray, cond: jnp.ndarray) -> SparseVoxels:
+        from ...sparse.ops import sparse_compact, sparse_scatter_back
+
         C = self.model_channels
         h = SparseLinear(self.io_block_channels[0], dtype=self.dtype,
                          name="input_layer")(x)
@@ -189,6 +195,11 @@ class SLatFlowModel(nn.Module):
             skips.append(h.feats)
             bi += 1
 
+        torso_template, torso_slots = None, None
+        if self.torso_capacity is not None and self.torso_capacity < h.capacity:
+            torso_template = h
+            h, torso_slots = sparse_compact(h, self.torso_capacity)
+
         if self.pe_mode == "ape":
             pe = AbsolutePositionEmbedder(C, name="pos_embedder")(
                 h.coords.astype(jnp.float32)
@@ -204,6 +215,9 @@ class SLatFlowModel(nn.Module):
                 qk_rms_norm_cross=self.qk_rms_norm_cross,
                 share_mod=self.share_mod, dtype=self.dtype, name=f"blocks_{i}",
             )(h, mod, cond)
+
+        if torso_template is not None:
+            h = sparse_scatter_back(h, torso_slots, torso_template)
 
         bo = 0
         rev_skips = list(reversed(skips))

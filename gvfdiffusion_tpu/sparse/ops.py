@@ -167,3 +167,45 @@ def sparse_subdivide(x: SparseVoxels) -> SparseVoxels:
     return SparseVoxels(
         feats=feats, coords=coords, valid=valid, resolution=x.resolution * 2
     )
+
+
+def sparse_compact(x: SparseVoxels, new_capacity: int):
+    """Pack valid voxels to the front and shrink the padded capacity.
+
+    After a 2x downsample the parent set has ~1/8 the voxels but the padded
+    capacity L is unchanged, so full attention in a downstream torso pays
+    (L/valid)^2 extra work. Compaction is a static-shape gather: valid slots
+    first (stable order), truncated to `new_capacity`.
+
+    Returns (compacted SparseVoxels, slots [B, new_capacity] int32 source
+    indices, -1 where padding). Voxels beyond `new_capacity` valid entries are
+    dropped — pick the capacity from the workload's occupancy budget.
+    """
+    b, l, _ = x.feats.shape
+    assert new_capacity <= l
+    key = jnp.where(x.valid, 0, 1).astype(jnp.int32)
+    order = jnp.argsort(key, axis=1, stable=True)[:, :new_capacity]  # [B, nc]
+    valid = jnp.take_along_axis(x.valid, order, axis=1)
+    feats = jnp.take_along_axis(x.feats, order[..., None], axis=1)
+    coords = jnp.take_along_axis(x.coords, order[..., None], axis=1)
+    slots = jnp.where(valid, order.astype(jnp.int32), -1)
+    out = SparseVoxels(
+        feats=feats * valid[..., None].astype(feats.dtype),
+        coords=jnp.where(valid[..., None], coords, 0),
+        valid=valid,
+        resolution=x.resolution,
+    )
+    return out, slots
+
+
+def sparse_scatter_back(
+    y: SparseVoxels, slots: jnp.ndarray, template: SparseVoxels
+) -> SparseVoxels:
+    """Inverse of sparse_compact: place y's features back onto the original
+    (pre-compaction) structure; slots are the gather indices it returned."""
+    b, l, _ = template.feats.shape
+    feats = jnp.zeros(template.feats.shape[:2] + (y.channels,), y.feats.dtype)
+    idx = jnp.maximum(slots, 0)
+    src = y.feats * (slots >= 0)[..., None].astype(y.feats.dtype)
+    feats = jax.vmap(lambda f, i, s: f.at[i].add(s))(feats, idx, src)
+    return template.replace(feats=feats * template.valid[..., None].astype(feats.dtype))

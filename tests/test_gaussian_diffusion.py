@@ -194,3 +194,38 @@ def test_learned_range_variance_split():
     np.testing.assert_allclose(
         np.asarray(out["log_variance"])[0, 0], (lo + hi) / 2, rtol=1e-5
     )
+
+
+def test_inpainting_mask_keeps_known_region():
+    diff = gd.create_diffusion(schedule="cosine", steps=20, mean_type="eps")
+    model = lambda x, t, **kw: jnp.zeros_like(x)
+    rng = jax.random.PRNGKey(0)
+    noise = jax.random.normal(jax.random.PRNGKey(1), (2, 8))
+    mask = jnp.concatenate([jnp.zeros((2, 4)), jnp.ones((2, 4))], axis=1)
+    out = diff.p_sample_loop(
+        model, (2, 8), rng, noise=noise, inpainting_mask=mask
+    )
+    # masked-out (known) region never resampled
+    np.testing.assert_allclose(np.asarray(out[:, :4]), np.asarray(noise[:, :4]))
+    assert np.abs(np.asarray(out[:, 4:]) - np.asarray(noise[:, 4:])).max() > 1e-3
+    # mask of ones == no mask (same rng stream)
+    a = diff.ddim_sample_loop(model, (2, 8), rng, noise=noise,
+                              inpainting_mask=jnp.ones((2, 8)))
+    b = diff.ddim_sample_loop(model, (2, 8), rng, noise=noise)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_calc_bpd_loop_shapes_and_finiteness():
+    diff = gd.create_diffusion(schedule="cosine", steps=10, mean_type="eps")
+    model = lambda x, t, **kw: jnp.tanh(x)
+    x0 = jnp.clip(jax.random.normal(jax.random.PRNGKey(2), (3, 6)), -1, 1)
+    out = diff.calc_bpd_loop(model, x0, jax.random.PRNGKey(3))
+    assert out["vb"].shape == (3, 10)
+    assert out["xstart_mse"].shape == (3, 10)
+    assert out["total_bpd"].shape == (3,)
+    for v in out.values():
+        assert np.isfinite(np.asarray(v)).all()
+    np.testing.assert_allclose(
+        np.asarray(out["total_bpd"]),
+        np.asarray(out["vb"].sum(1) + out["prior_bpd"]), rtol=1e-5,
+    )

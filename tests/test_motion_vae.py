@@ -104,3 +104,20 @@ def test_grads_finite():
 
     g = jax.grad(loss)(params)
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
+def test_decode_chunked_matches_unchunked():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gvfdiffusion_tpu.models.motion_vae import MotionVAE
+
+    vae = MotionVAE(depth=1, dim=24, queries_dim=24, num_inputs=16,
+                    num_latents=4, latent_dim=4, heads=4, output_dim=14)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2 * 3, 4, 4))
+    q = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 14))
+    params = vae.init(jax.random.PRNGKey(2), z, q, 3, method=vae.decode)
+    full = vae.apply(params, z, q, 3, method=vae.decode)
+    chunked = vae.apply(params, z, q, 3, 8, method=vae.decode)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full), atol=1e-5)

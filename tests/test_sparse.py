@@ -325,3 +325,38 @@ def test_strided_inverse_structure_roundtrip():
     np.testing.assert_array_equal(np.asarray(z.coords), np.asarray(x.coords))
     np.testing.assert_array_equal(np.asarray(z.valid), np.asarray(x.valid))
     assert z.channels == 4 and z.resolution == x.resolution
+
+
+def test_compact_scatter_roundtrip():
+    from gvfdiffusion_tpu.sparse.ops import sparse_compact, sparse_scatter_back
+
+    x = random_sparse(jax.random.PRNGKey(7), b=2, l=64, c=4, res=16, fill=0.4)
+    # bound every sample's valid count under the compaction capacity
+    x = x.replace(valid=x.valid & (jnp.arange(64)[None, :] < 30))
+    x = x.replace(feats=x.feats * x.valid[..., None])
+    y, slots = sparse_compact(x, 32)
+    assert y.capacity == 32
+    assert int(y.valid.sum()) == int(x.valid.sum())
+    z = sparse_scatter_back(y, slots, x)
+    np.testing.assert_allclose(np.asarray(z.feats), np.asarray(x.feats), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(z.valid), np.asarray(x.valid))
+
+
+def test_slat_flow_compacted_torso_matches():
+    """SLat flow with torso compaction == without (same params, same input)."""
+    from gvfdiffusion_tpu.models.trellis.slat_flow import SLatFlowModel
+
+    x = random_sparse(jax.random.PRNGKey(8), b=1, l=32, c=4, res=16, fill=0.6)
+    t = jnp.array([3.0])
+    cond = jax.random.normal(jax.random.PRNGKey(9), (1, 5, 16))
+    kw = dict(resolution=16, in_channels=4, model_channels=16, cond_channels=16,
+              out_channels=4, num_blocks=1, num_heads=2, io_block_channels=(8,),
+              num_io_res_blocks=2)
+    base = SLatFlowModel(**kw)
+    params = base.init(jax.random.PRNGKey(10), x, t, cond)
+    ref = base.apply(params, x, t, cond)
+    compacted = SLatFlowModel(torso_capacity=16, **kw)
+    out = compacted.apply(params, x, t, cond)
+    np.testing.assert_allclose(
+        np.asarray(out.feats), np.asarray(ref.feats), atol=2e-5
+    )

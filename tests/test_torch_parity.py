@@ -527,3 +527,15 @@ def test_dpm_singlestep_parity():
     out_m = solver_m.sample(jnp.asarray(x), steps=9, order=2, method="singlestep")
     out_t = solver_t.sample(torch.tensor(x), steps=9, order=2, method="singlestep")
     np.testing.assert_allclose(np.asarray(out_m), _np(out_t), rtol=2e-4, atol=2e-4)
+
+
+def test_prior_bpd_parity():
+    mine, theirs = _pair("eps", "fixed_small")
+    x0 = np.random.default_rng(14).normal(size=(3, 6)).astype(np.float32) * 0.5
+    out = mine.calc_bpd_loop(
+        lambda x, t, **kw: jnp.sin(x), jnp.asarray(x0), jax.random.PRNGKey(0)
+    )
+    ref_prior = theirs._prior_bpd(torch.tensor(x0))
+    np.testing.assert_allclose(
+        np.asarray(out["prior_bpd"]), _np(ref_prior), rtol=1e-4, atol=1e-5
+    )

@@ -43,8 +43,8 @@ def _sync(out):
     jax.block_until_ready can return before remote execution finishes; a
     device->host read of any output element cannot (the whole program must
     have run). Fetching a single element keeps transfer cost ~0."""
-    leaf = jax.tree.leaves(out)[0]
-    np.asarray(jax.device_get(leaf.ravel()[:1]))
+    leaf = jnp.asarray(jax.tree.leaves(out)[0])
+    np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
 
 
 def _time_stage(name, fn, *args, iters=2):
@@ -243,7 +243,7 @@ def bench_e2e():
     def align():
         return align_gaussian_to_canonical(
             gs0, target, valid=valid0, n_angles=360,
-        )[1]
+        )[0]
 
     stages["alignment_360"] = _time_stage("alignment_360", align, iters=1)
 

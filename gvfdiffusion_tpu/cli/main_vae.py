@@ -86,9 +86,31 @@ def main(argv=None):
     )
     gs_cfg = GSConfig()
 
+    # LPIPS must never silently vanish: the reference trains with a 0.2 LPIPS
+    # term (train_vae.py:328-334) — requesting it without weights is an error
+    lpips_fn = None
+    if cfg.loss.lambda_lpips > 0:
+        from ..ops.lpips import load_lpips
+
+        lpips_fn = load_lpips(cfg.loss.lpips_weights)
+        if lpips_fn is None:
+            raise SystemExit(
+                f"loss.lambda_lpips={cfg.loss.lambda_lpips} but no LPIPS "
+                f"weights at loss.lpips_weights={cfg.loss.lpips_weights!r}. "
+                "Convert the torch vgg16+lin checkpoint with "
+                "gvfdiffusion_tpu.ops.lpips.convert_torch_lpips and point "
+                "loss.lpips_weights at the .npz, or set loss.lambda_lpips=0 "
+                "to train without the perceptual term."
+            )
+    loss_kw = dict(
+        lambda_ssim=cfg.loss.lambda_ssim, lambda_lpips=cfg.loss.lambda_lpips,
+        lpips_fn=lpips_fn,
+    )
+
     static_step = jax.jit(make_static_vae_step(
         lambda p, f, r, s: static_vae.apply(p, f, r, s),
         static_tx_solo, gs_cfg, render_opts,
+        lambda_kl=cfg.loss.lambda_kl, **loss_kw,
     ))
 
     motion_state = None
@@ -121,6 +143,8 @@ def main(argv=None):
                     lambda p, f, r, s: static_vae.apply(p, f, r, s),
                     lambda p, *a: motion_vae.apply(p, *a),
                     static_tx, motion_tx, gs_cfg, render_opts,
+                    lambda_kl=cfg.loss.lambda_kl,
+                    lambda_xyz=cfg.loss.lambda_xyz, **loss_kw,
                 ))
             # phase-B batches render a subset of frames
             T = batch["delta_pc"].shape[1]

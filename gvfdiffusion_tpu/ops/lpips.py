@@ -65,9 +65,9 @@ class LPIPS(nn.Module):
             w = self.param(
                 f"lin{i}", nn.initializers.ones, (d.shape[-1],)
             )
-            total = total + jnp.mean(
-                jnp.sum(d * jnp.abs(w), axis=-1), axis=(1, 2)
-            )
+            # linear 1x1 head (reference utils/lpips/networks.py:23-30 —
+            # released weights are non-negative; no abs, exact linearity)
+            total = total + jnp.mean(jnp.sum(d * w, axis=-1), axis=(1, 2))
         return total
 
 

@@ -92,6 +92,21 @@ class TrainConfig:
 
 
 @dataclasses.dataclass
+class LossConfig:
+    """VAE render-loss weights (reference train_vae.py:207-215, 328-334)."""
+
+    lambda_render: float = 1.0
+    lambda_ssim: float = 0.2
+    lambda_lpips: float = 0.2
+    lambda_kl: float = 1e-6
+    lambda_xyz: float = 1.0
+    # path to converted LPIPS weights (ops/lpips.convert_torch_lpips npz);
+    # empty + lambda_lpips > 0 is a hard error in main_vae — the perceptual
+    # term must never silently vanish
+    lpips_weights: str = ""
+
+
+@dataclasses.dataclass
 class RenderConfig:
     near: float = 0.8
     far: float = 1.6
@@ -112,6 +127,7 @@ class Config:
     static_vae: StaticVAEConfig = dataclasses.field(default_factory=StaticVAEConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
     render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
     data_dir: str = ""
     exp_dir: str = "/tmp/gvf_exp"
     uncond_p: float = 0.1

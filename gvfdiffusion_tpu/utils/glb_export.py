@@ -33,8 +33,15 @@ def export_glb(
     faces: np.ndarray,             # [F, 3] int
     vertex_colors: Optional[np.ndarray] = None,  # [V, 3] float in [0,1]
     normals: Optional[np.ndarray] = None,        # [V, 3]
+    uvs: Optional[np.ndarray] = None,            # [V, 2] float in [0,1]
+    texture_png: Optional[bytes] = None,         # PNG bytes (with uvs)
 ) -> int:
-    """Write a .glb file; returns byte size."""
+    """Write a .glb file; returns byte size.
+
+    With `uvs` + `texture_png`, the mesh gets a textured PBR material
+    (reference trellis/utils/postprocessing_utils.py:398 to_glb exports
+    xatlas-unwrapped baked textures; utils/texture_bake.py produces the
+    equivalent inputs here)."""
     vertices = np.ascontiguousarray(vertices, np.float32)
     indices = np.ascontiguousarray(faces, np.uint32).reshape(-1)
 
@@ -81,6 +88,15 @@ def export_glb(
         })
         attributes["COLOR_0"] = len(accessors) - 1
 
+    if uvs is not None:
+        uv = np.ascontiguousarray(uvs, np.float32)
+        bv = add_blob(uv.tobytes(), _ARRAY_BUFFER)
+        accessors.append({
+            "bufferView": bv, "componentType": _COMPONENT_F32,
+            "count": len(uv), "type": "VEC2",
+        })
+        attributes["TEXCOORD_0"] = len(accessors) - 1
+
     bv = add_blob(indices.tobytes(), _ELEMENT_ARRAY_BUFFER)
     accessors.append({
         "bufferView": bv, "componentType": _COMPONENT_U32,
@@ -88,22 +104,41 @@ def export_glb(
     })
     idx_accessor = len(accessors) - 1
 
+    primitive = {
+        "attributes": attributes,
+        "indices": idx_accessor,
+        "mode": 4,
+    }
     gltf = {
         "asset": {"version": "2.0", "generator": "gvfdiffusion_tpu"},
         "scene": 0,
         "scenes": [{"nodes": [0]}],
         "nodes": [{"mesh": 0}],
-        "meshes": [{
-            "primitives": [{
-                "attributes": attributes,
-                "indices": idx_accessor,
-                "mode": 4,
-            }]
-        }],
+        "meshes": [{"primitives": [primitive]}],
         "bufferViews": buffer_views,
         "accessors": accessors,
-        "buffers": [{"byteLength": sum(len(b) for b in blobs)}],
+        "buffers": [{"byteLength": 0}],  # patched below
     }
+
+    if texture_png is not None and uvs is not None:
+        img_bv = add_blob(texture_png, _ARRAY_BUFFER)
+        # image bufferViews must not carry a vertex-attribute target
+        buffer_views[img_bv].pop("target", None)
+        gltf["images"] = [{"bufferView": img_bv, "mimeType": "image/png"}]
+        gltf["samplers"] = [{"magFilter": 9729, "minFilter": 9729,
+                             "wrapS": 33071, "wrapT": 33071}]
+        gltf["textures"] = [{"source": 0, "sampler": 0}]
+        gltf["materials"] = [{
+            "pbrMetallicRoughness": {
+                "baseColorTexture": {"index": 0},
+                "metallicFactor": 0.0,
+                "roughnessFactor": 1.0,
+            },
+            "doubleSided": True,
+        }]
+        primitive["material"] = 0
+
+    gltf["buffers"] = [{"byteLength": sum(len(b) for b in blobs)}]
 
     json_chunk = _pad4(json.dumps(gltf).encode("utf-8"), b" ")
     bin_chunk = b"".join(blobs)

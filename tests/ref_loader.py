@@ -184,6 +184,51 @@ def _make_spconv_stub():
     return spconv, sp_pytorch
 
 
+def _make_torchvision_stub():
+    """torchvision.models.vgg16().features with the standard 31-layer
+    Sequential layout (reference utils/lpips/networks.py:91-97 slices it at
+    ReLU indices 4/9/16/23/30). Random init — parity tests randomize anyway."""
+    import torch.nn as nn
+
+    tv = types.ModuleType("torchvision")
+    models = types.ModuleType("torchvision.models")
+
+    _PLAN = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
+
+    def vgg16(*a, **kw):
+        layers = []
+        cin = 3
+        for ch, n_convs in _PLAN:
+            for _ in range(n_convs):
+                layers += [nn.Conv2d(cin, ch, 3, padding=1), nn.ReLU(inplace=False)]
+                cin = ch
+            layers.append(nn.MaxPool2d(2, 2))
+        m = nn.Module()
+        m.features = nn.Sequential(*layers)
+        return m
+
+    models.vgg16 = vgg16
+    tv.models = models
+    return tv, models
+
+
+def install_lpips_hub_stub(seed=0):
+    """Replace torch.hub.load_state_dict_from_url with deterministic random
+    LPIPS lin weights (shapes per utils/lpips/networks.py LinLayers)."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    chans = [64, 128, 256, 512, 512]
+
+    def fake_load(url, **kw):
+        return {
+            f"lin{i}.model.1.weight": torch.randn(1, c, 1, 1, generator=g) * 0.3
+            for i, c in enumerate(chans)
+        }
+
+    torch.hub.load_state_dict_from_url = fake_load
+
+
 _installed = False
 
 
@@ -209,6 +254,10 @@ def install_stubs():
         spconv, sp_pytorch = _make_spconv_stub()
         sys.modules["spconv"] = spconv
         sys.modules["spconv.pytorch"] = sp_pytorch
+    if "torchvision" not in sys.modules:
+        tv, models = _make_torchvision_stub()
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = models
     if REF_ROOT not in sys.path:
         sys.path.append(REF_ROOT)
     _installed = True

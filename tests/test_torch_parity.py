@@ -539,3 +539,42 @@ def test_prior_bpd_parity():
     np.testing.assert_allclose(
         np.asarray(out["prior_bpd"]), _np(ref_prior), rtol=1e-4, atol=1e-5
     )
+
+
+def test_lpips_converter_parity(tmp_path):
+    """Run the reference's vendored LPIPS (utils/lpips) with random VGG16+lin
+    weights, convert via ops/lpips.convert_torch_lpips, and assert the flax
+    LPIPS agrees — proving the weights path end to end."""
+    ref_loader.install_stubs()
+    ref_loader.install_lpips_hub_stub(seed=33)
+    import importlib
+
+    ref_lpips_mod = importlib.import_module("utils.lpips.lpips")
+    theirs = ref_lpips_mod.LPIPS(net_type="vgg").eval()
+    _randomize(theirs.net, seed=34, scale=0.1)
+
+    from gvfdiffusion_tpu.ops.lpips import convert_torch_lpips, load_lpips
+
+    vgg_state = {
+        f"features.{k}": v for k, v in theirs.net.layers.state_dict().items()
+    }
+    lin_state = {
+        f"lin{i}.model.1.weight": theirs.lin[i][1].weight for i in range(5)
+    }
+    flat = convert_torch_lpips(vgg_state, lin_state)
+    path = str(tmp_path / "lpips.npz")
+    np.savez(path, **flat)
+    fn = load_lpips(path)
+    assert fn is not None
+
+    rng = np.random.default_rng(35)
+    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    y = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    mine = np.asarray(fn(jnp.asarray(x), jnp.asarray(y)))  # per-sample [B]
+
+    with torch.no_grad():
+        # reference expects [-1,1] NCHW and returns sum-over-batch/B
+        tx = torch.tensor(x * 2 - 1).permute(0, 3, 1, 2)
+        ty = torch.tensor(y * 2 - 1).permute(0, 3, 1, 2)
+        ref = float(theirs(tx, ty))
+    np.testing.assert_allclose(mine.mean(), ref, rtol=1e-3, atol=1e-5)

@@ -234,7 +234,11 @@ def bench_e2e():
     gs_dec_j = jax.jit(lambda p, s: gs_dec.apply(p, s))
     stages["slat_gs_decode"] = _time_stage("slat_gs_decode", gs_dec_j, gs_params, slat)
     gs_b, gs_valid = gs_dec.apply(gs_params, slat)
-    gs0 = jax.tree.map(lambda a: a[0], gs_b)
+    gs0 = gs_b.replace(  # batch slice of the per-gaussian fields; aabb shared
+        _xyz=gs_b._xyz[0], _features_dc=gs_b._features_dc[0],
+        _scaling=gs_b._scaling[0], _rotation=gs_b._rotation[0],
+        _opacity=gs_b._opacity[0],
+    )
     valid0 = gs_valid[0]
 
     # ---- stage 6: azimuth alignment (360 rendered candidates) ------------

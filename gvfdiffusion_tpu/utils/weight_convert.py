@@ -139,10 +139,36 @@ def convert_motion_vae(state_dict: Dict[str, Any], depth: int = 12) -> Dict:
     return {"params": p}
 
 
-def convert_static_vae(state_dict: Dict[str, Any], num_blocks: int = 12) -> Dict:
+def _old_qkv_to_new(w: np.ndarray, num_heads: int) -> np.ndarray:
+    """Permute a fused-qkv tensor from the reference static VAE's OLD
+    attention layout to the standard one.
+
+    The VAE builds its sparse attention with use_old_attn_impl=True
+    (model/sparse_voxel_diffusion/sparse_transformer_vae.py:31;
+    sparse/attention/modules.py:161-164): to_qkv output channels are
+    interpreted as (H, 3, Ch) — reshape to heads first, THEN chunk q/k/v —
+    whereas the standard path (and this framework) uses (3, H, Ch).
+    Applies to the leading axis of weight [3C, Cin] and bias [3C].
+    """
+    three_c = w.shape[0]
+    ch = three_c // (3 * num_heads)
+    return (
+        w.reshape(num_heads, 3, ch, *w.shape[1:])
+        .swapaxes(0, 1)
+        .reshape(w.shape)
+    )
+
+
+def convert_static_vae(
+    state_dict: Dict[str, Any], num_blocks: int = 12, num_heads: int = 12,
+    old_qkv_layout: bool = False,
+) -> Dict:
     """model/sparse_voxel_diffusion/sparse_transformer_vae.py -> flax.
 
     Note flax submodule paths: SparseLinear wraps a Dense named Dense_0.
+    old_qkv_layout: set for checkpoints trained with use_old_attn_impl=True
+    (the class default; the SHIPPED configs set it false,
+    configs/diffusion.yml:57 / vae.yml:30, so released weights are new-layout).
     """
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     p: Dict = {}
@@ -158,6 +184,14 @@ def convert_static_vae(state_dict: Dict[str, Any], num_blocks: int = 12) -> Dict
         for i in range(num_blocks):
             b = f"{prefix}.{i}"
             fp = [f"{fprefix}_{i}"]
+            if old_qkv_layout:
+                sd[f"{b}.attn.to_qkv.weight"] = _old_qkv_to_new(
+                    sd[f"{b}.attn.to_qkv.weight"], num_heads
+                )
+                if f"{b}.attn.to_qkv.bias" in sd:
+                    sd[f"{b}.attn.to_qkv.bias"] = _old_qkv_to_new(
+                        sd[f"{b}.attn.to_qkv.bias"], num_heads
+                    )
             _mha(sd, f"{b}.attn", p, fp + ["attn"], True, False)
             slinear(f"{b}.mlp.mlp.0", fp + ["mlp", "mlp_0"])
             slinear(f"{b}.mlp.mlp.2", fp + ["mlp", "mlp_2"])

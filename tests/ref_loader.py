@@ -168,11 +168,29 @@ def _make_spconv_stub():
     sp_pytorch = types.ModuleType("spconv.pytorch")
 
     class SparseConvTensor:
-        def __init__(self, features, indices, spatial_shape, batch_size, **kw):
-            self.features = features
+        def __init__(self, features, indices, spatial_shape, batch_size,
+                     grid=None, voxel_num=None, indice_dict=None, **kw):
+            self._features = features
             self.indices = indices
             self.spatial_shape = spatial_shape
             self.batch_size = batch_size
+            self.grid = grid
+            self.voxel_num = voxel_num
+            self.indice_dict = indice_dict or {}
+            self.benchmark = False
+            self.benchmark_record = {}
+            self.thrust_allocator = None
+            self._timer = None
+            self.force_algo = None
+            self.int8_scale = None
+
+        @property
+        def features(self):
+            return self._features
+
+        @features.setter
+        def features(self, value):
+            self._features = value
 
         def replace_feature(self, feats):
             return SparseConvTensor(
@@ -182,6 +200,32 @@ def _make_spconv_stub():
     sp_pytorch.SparseConvTensor = SparseConvTensor
     spconv.pytorch = sp_pytorch
     return spconv, sp_pytorch
+
+
+def _make_vox2seq_stub():
+    """vox2seq CUDA space-filling-curve encoder -> our jnp curves (which are
+    exact-parity tested against the native C++ in tests/test_native.py)."""
+    import torch
+
+    m = types.ModuleType("vox2seq")
+
+    def encode(coords, permute=(0, 1, 2), mode="z_order"):
+        import jax.numpy as jnp
+
+        from gvfdiffusion_tpu.ops import curves
+
+        c = coords.detach().cpu().numpy()
+        xyz = [jnp.asarray(c[:, permute[i]]) for i in range(3)]
+        if mode == "z_order":
+            code = curves.z_order_encode(*xyz)
+        else:
+            code = curves.hilbert_encode(*xyz)
+        import numpy as _np
+
+        return torch.tensor(_np.asarray(code).astype(_np.int64))
+
+    m.encode = encode
+    return m
 
 
 def _make_torchvision_stub():
@@ -258,6 +302,8 @@ def install_stubs():
         tv, models = _make_torchvision_stub()
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = models
+    if "vox2seq" not in sys.modules:
+        sys.modules["vox2seq"] = _make_vox2seq_stub()
     if REF_ROOT not in sys.path:
         sys.path.append(REF_ROOT)
     _installed = True

@@ -578,3 +578,81 @@ def test_lpips_converter_parity(tmp_path):
         ty = torch.tensor(y * 2 - 1).permute(0, 3, 1, 2)
         ref = float(theirs(tx, ty))
     np.testing.assert_allclose(mine.mean(), ref, rtol=1e-3, atol=1e-5)
+
+
+# ----------------------------------------------------------------- static VAE
+
+
+@pytest.mark.parametrize("old_impl", [False, True])
+def test_static_vae_parity(old_impl):
+    """Reference SparseTransformerVAE (swin sparse attention, run on CPU via
+    the pure-torch sparse-stack stubs) vs the converted flax model —
+    encode posterior and full decode, compared per voxel coordinate.
+
+    old_impl covers both fused-qkv layouts: the class default (H, 3, Ch)
+    "old" layout and the shipped configs' (3, H, Ch) layout
+    (configs/diffusion.yml:57 use_old_attn_impl: false)."""
+    stv = ref_loader.load_ref("model.sparse_voxel_diffusion.sparse_transformer_vae")
+    import sparse as sp
+
+    from gvfdiffusion_tpu.models.static_vae import SparseTransformerVAE
+    from gvfdiffusion_tpu.sparse.tensor import from_lists
+
+    kw = dict(resolution=16, in_channels=8, model_channels=32, out_channels=10,
+              latent_channels=4, num_blocks=2, window_size=4, num_heads=4)
+    theirs = stv.SparseTransformerVAE(
+        num_head_channels=8, attn_mode="swin", norm_output=True,
+        use_old_attn_impl=old_impl, **kw
+    ).eval()
+    _randomize(theirs, seed=40, scale=0.1)
+    params = jax.tree.map(
+        jnp.asarray,
+        wc.convert_static_vae(theirs.state_dict(), num_blocks=2, num_heads=4,
+                              old_qkv_layout=old_impl)
+    )
+    mine = SparseTransformerVAE(attn_mode="swin", **kw)
+
+    rng = np.random.default_rng(41)
+    n = 6
+    lin = rng.choice(16**3, size=n, replace=False)
+    coords = np.stack([lin // 256, (lin // 16) % 16, lin % 16], -1).astype(np.int32)
+    feats = rng.normal(size=(n, 8)).astype(np.float32)
+
+    tcoords = torch.tensor(
+        np.concatenate([np.zeros((n, 1), np.int32), coords], 1)
+    )
+    tx = sp.SparseTensor(
+        feats=torch.tensor(feats), coords=tcoords, shape=torch.Size([1, 8])
+    )
+    with torch.no_grad():
+        t_z, t_mean, t_logvar = theirs.encode(tx, sample_posterior=False,
+                                              return_raw=True)
+        t_out = theirs.decode(t_z)
+
+    x = from_lists([coords], [feats], resolution=16, capacity=8)
+    m_z, m_mean, m_logvar = mine.apply(
+        params, x, None, False, method=mine.encode
+    )
+    m_out = mine.apply(params, m_z, method=mine.decode)
+
+    # compare per coordinate (the reference tensor may reorder rows)
+    t_coords_out = np.asarray(t_z.coords[:, 1:])
+    t_map = {tuple(c): i for i, c in enumerate(t_coords_out)}
+    m_coords = np.asarray(x.coords[0])
+    m_valid = np.asarray(x.valid[0])
+    for li in range(x.capacity):
+        if not m_valid[li]:
+            continue
+        ti = t_map[tuple(m_coords[li])]
+        np.testing.assert_allclose(
+            np.asarray(m_mean[0, li]), _np(t_mean[ti]), rtol=2e-4, atol=2e-4,
+            err_msg=f"mean voxel {li}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_logvar[0, li]), _np(t_logvar[ti]), rtol=2e-4, atol=2e-4,
+            err_msg=f"logvar voxel {li}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_out.feats[0, li]), _np(t_out.feats[ti]),
+            rtol=5e-4, atol=5e-4, err_msg=f"decode voxel {li}",
+        )

@@ -25,19 +25,28 @@ _jax.config.update("jax_compilation_cache_dir", os.path.join(_ROOT, ".jax_cache"
 _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def timeit(fn, iters=10, warmup=2):
-    """Median of per-call wall times, blocking every call (queueing async
-    dispatches and blocking once under-reports on remote backends)."""
-    import statistics
-
+def _sync(out):
+    """Force completion AND a host round-trip. On the tunneled axon backend
+    `jax.block_until_ready` can return before the computation ran (measured:
+    16k-token attention "completing" in 0.1 ms); fetching a reduced scalar is
+    the only trustworthy barrier. Reduce before fetching so transfer time
+    (25 MB over the tunnel) doesn't pollute compute timings."""
     import jax
 
+    leaves = [x.sum() for x in jax.tree.leaves(out) if hasattr(x, "sum")]
+    jax.device_get(leaves)
+
+
+def timeit(fn, iters=10, warmup=2):
+    """Median of per-call wall times, each synced via a scalar fetch."""
+    import statistics
+
     for _ in range(warmup):
-        jax.block_until_ready(fn())
+        _sync(fn())
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        _sync(fn())
         times.append(time.perf_counter() - t0)
     return statistics.median(times)
 

@@ -42,9 +42,67 @@ def _masked_attention(q, k, v, mask):
     return jax.nn.dot_product_attention(q, k, v, mask=mask)
 
 
+# Above this many score-matrix elements per (batch, head), the XLA masked
+# path's materialized [Lq, Lk] logits dominate HBM traffic; switch to the
+# streaming flash kernel. 4k x 4k fp32 logits = 64 MB/head — well past the
+# crossover. Module-level so tests/benches can force either path.
+FLASH_SCORE_ELEMENTS = 4096 * 4096
+_FORCE_FLASH: Optional[bool] = None  # True/False overrides the heuristic
+
+
+def _flash_full_attention(q, k, v, q_valid, kv_valid):
+    """Streaming flash attention (stock Pallas TPU kernel) for the `full`
+    mode at large L — O(block) memory instead of a materialized [B,H,Lq,Lk]
+    score tensor. Validity becomes segment ids: valid kv tokens are segment 1,
+    padding/invalid kv segment 0; every query joins segment 1 (invalid query
+    rows produce finite garbage that downstream masking discards, the same
+    contract as `_masked_attention`'s fallback)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    blk = 512
+    pq, pk = (-lq) % blk, (-lk) % blk
+    if pq:
+        q = jnp.pad(q, ((0, 0), (0, pq), (0, 0), (0, 0)))
+    if pk:
+        k = jnp.pad(k, ((0, 0), (0, pk), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pk), (0, 0), (0, 0)))
+        kv_valid = jnp.pad(kv_valid, ((0, 0), (0, pk)))
+    seg = SegmentIds(
+        q=jnp.ones((b, lq + pq), jnp.int32),
+        kv=kv_valid.astype(jnp.int32),
+    )
+    bs = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk,
+        block_k_dkv=blk, block_q_dkv=blk,
+        block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+    )
+    out = flash_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), segment_ids=seg,
+        sm_scale=1.0 / (d ** 0.5), block_sizes=bs,
+    )
+    return out.transpose(0, 2, 1, 3)[:, :lq]
+
+
 def full_sparse_attention(q, k, v, q_valid, kv_valid):
     """q [B, Lq, H, D], k/v [B, Lk, H, D]; per-sample full attention over
-    valid tokens (the reference's varlen-packed full attention)."""
+    valid tokens (the reference's varlen-packed full attention,
+    sparse/attention/full_attn.py:90). Large-L dispatches to a streaming
+    flash kernel so the score matrix never hits HBM."""
+    lq, lk = q.shape[1], k.shape[1]
+    use_flash = _FORCE_FLASH
+    if use_flash is None:
+        use_flash = (
+            jax.default_backend() == "tpu"
+            and lq * lk >= FLASH_SCORE_ELEMENTS
+            and q.shape[-1] % 8 == 0
+        )
+    if use_flash:
+        return _flash_full_attention(q, k, v, q_valid, kv_valid)
     mask = q_valid[:, None, :, None] & kv_valid[:, None, None, :]  # [B,1,Lq,Lk]
     return _masked_attention(q, k, v, mask)
 

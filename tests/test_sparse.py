@@ -360,3 +360,31 @@ def test_slat_flow_compacted_torso_matches():
     np.testing.assert_allclose(
         np.asarray(out.feats), np.asarray(ref.feats), atol=2e-5
     )
+
+
+def test_flash_full_attention_matches_masked_path():
+    """The streaming flash kernel (TPU pallas, run here in interpret mode)
+    must agree with the masked XLA path on valid rows — including ragged
+    validity and non-block-multiple lengths."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = jax.random.PRNGKey(11)
+    b, lq, lk, h, d = 2, 130, 70, 2, 32
+    ks = jax.random.split(rng, 3)
+    q = jax.random.normal(ks[0], (b, lq, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, lk, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, lk, h, d), jnp.float32)
+    q_valid = jnp.arange(lq)[None] < jnp.array([100, lq])[:, None]
+    kv_valid = jnp.arange(lk)[None] < jnp.array([37, lk])[:, None]
+
+    expect = sa.full_sparse_attention(q, k, v, q_valid, kv_valid)
+    try:
+        sa._FORCE_FLASH = True
+        with pltpu.force_tpu_interpret_mode():
+            got = sa.full_sparse_attention(q, k, v, q_valid, kv_valid)
+    finally:
+        sa._FORCE_FLASH = None
+    vm = np.asarray(q_valid)
+    np.testing.assert_allclose(
+        np.asarray(got)[vm], np.asarray(expect)[vm], atol=2e-5
+    )

@@ -58,12 +58,18 @@ class TrellisImageTo3DPipeline:
         slat_mean: Optional[jnp.ndarray] = None,
         slat_std: Optional[jnp.ndarray] = None,
         matting_fn: Optional[Callable] = None,
+        slat_decoder_mesh: Any = None, slat_decoder_mesh_params: Any = None,
+        slat_decoder_rf: Any = None, slat_decoder_rf_params: Any = None,
     ):
         self.dinov2, self.dinov2_params = dinov2, dinov2_params
         self.ss_flow, self.ss_flow_params = ss_flow, ss_flow_params
         self.ss_decoder, self.ss_decoder_params = ss_decoder, ss_decoder_params
         self.slat_flow, self.slat_flow_params = slat_flow, slat_flow_params
         self.slat_decoder, self.slat_decoder_params = slat_decoder, slat_decoder_params
+        self.slat_decoder_mesh = slat_decoder_mesh
+        self.slat_decoder_mesh_params = slat_decoder_mesh_params
+        self.slat_decoder_rf = slat_decoder_rf
+        self.slat_decoder_rf_params = slat_decoder_rf_params
         self.cfg = config or TrellisConfig()
         self.slat_mean = slat_mean
         self.slat_std = slat_std
@@ -162,16 +168,42 @@ class TrellisImageTo3DPipeline:
         """-> (GaussianSplat [B, L*G], valid) (reference :198-220)."""
         return self.slat_decoder.apply(self.slat_decoder_params, slat)
 
+    def decode_slat_formats(self, slat: SparseVoxels, formats=("gaussian",)):
+        """Multi-format decode (reference :198-220): any of 'gaussian',
+        'mesh', 'radiance_field' — the latter two need their decoders passed
+        at construction."""
+        ret = {}
+        if "gaussian" in formats:
+            ret["gaussian"] = self.decode_slat(slat)
+        if "mesh" in formats:
+            assert self.slat_decoder_mesh is not None, "no mesh decoder"
+            ret["mesh"] = self.slat_decoder_mesh.apply(
+                self.slat_decoder_mesh_params, slat
+            )
+        if "radiance_field" in formats:
+            assert self.slat_decoder_rf is not None, "no RF decoder"
+            ret["radiance_field"] = self.slat_decoder_rf.apply(
+                self.slat_decoder_rf_params, slat
+            )
+        return ret
+
     # -- end-to-end ----------------------------------------------------------
 
-    def run(self, image: np.ndarray, rng: jax.Array) -> Dict[str, Any]:
+    def run(
+        self, image: np.ndarray, rng: jax.Array, formats=("gaussian",)
+    ) -> Dict[str, Any]:
         pre = self.preprocess_image(image)
         cond = self.encode_image(jnp.asarray(pre)[None])
         k1, k2 = jax.random.split(rng)
         structure = self.sample_sparse_structure(cond, k1)
         slat = self.sample_slat(structure, cond, k2)
-        gs, valid = self.decode_slat(slat)
-        return {
-            "gaussians": gs, "valid": valid, "structure": structure,
-            "slat": slat, "cond": cond,
-        }
+        decoded = self.decode_slat_formats(slat, formats)
+        out = {"structure": structure, "slat": slat, "cond": cond}
+        if "gaussian" in decoded:
+            gs, valid = decoded["gaussian"]
+            out.update(gaussians=gs, valid=valid)
+        if "mesh" in decoded:
+            out["mesh"] = decoded["mesh"]
+        if "radiance_field" in decoded:
+            out["radiance_field"] = decoded["radiance_field"]
+        return out

@@ -44,10 +44,15 @@ def render_volume(
     t_far: float = 3.0,
     bg_color=(1.0, 1.0, 1.0),
     step_chunk: int = 4096,
+    field_takes_dirs: bool = False,
+    track_median_depth: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """March `num_steps` samples per ray through `field`; composite.
 
     density is interpreted per unit length (sigma); alpha_i = 1 - exp(-sigma dt).
+    `field_takes_dirs`: call `field(points, dirs)` (view-dependent SH colors).
+    `track_median_depth`: also return the depth where transmittance first
+    crosses 0.5 (the reference trivec rasterizer's `percent_depth`).
     """
     h, w = camera.height, camera.width
     origins, dirs = ray_grid(camera)
@@ -59,22 +64,23 @@ def render_volume(
         o, d = args  # [C, 3] each
 
         def step(carry, t):
-            trans, rgb, depth_acc = carry
+            trans, rgb, depth_acc, med = carry
             pts = o + t * d
-            sigma, color = field(pts)
+            sigma, color = field(pts, d) if field_takes_dirs else field(pts)
             alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dt)
             wgt = trans * alpha
             rgb = rgb + wgt[:, None] * color
             depth_acc = depth_acc + wgt * t
-            trans = trans * (1.0 - alpha)
-            return (trans, rgb, depth_acc), None
+            new_trans = trans * (1.0 - alpha)
+            med = jnp.where((trans >= 0.5) & (new_trans < 0.5), t, med)
+            return (new_trans, rgb, depth_acc, med), None
 
         n = o.shape[0]
-        init = (jnp.ones(n), jnp.zeros((n, 3)), jnp.zeros(n))
-        (trans, rgb, depth_acc), _ = jax.lax.scan(step, init, ts)
+        init = (jnp.ones(n), jnp.zeros((n, 3)), jnp.zeros(n), jnp.zeros(n))
+        (trans, rgb, depth_acc, med), _ = jax.lax.scan(step, init, ts)
         acc = 1.0 - trans
         rgb = rgb + trans[:, None] * bg
-        return rgb, depth_acc, acc
+        return rgb, depth_acc, acc, med
 
     p = origins.shape[0]
     pad = (-p) % step_chunk
@@ -82,11 +88,14 @@ def render_volume(
         origins = jnp.concatenate([origins, jnp.zeros((pad, 3))])
         dirs = jnp.concatenate([dirs, jnp.ones((pad, 3))])
     nb = origins.shape[0] // step_chunk
-    rgb, depth, acc = jax.lax.map(
+    rgb, depth, acc, med = jax.lax.map(
         ray_chunk,
         (origins.reshape(nb, step_chunk, 3), dirs.reshape(nb, step_chunk, 3)),
     )
     rgb = rgb.reshape(-1, 3)[:p].reshape(h, w, 3)
     depth = depth.reshape(-1)[:p].reshape(h, w)
     acc = acc.reshape(-1)[:p].reshape(h, w)
-    return {"render": rgb, "depth": depth, "alpha": acc}
+    out = {"render": rgb, "depth": depth, "alpha": acc}
+    if track_median_depth:
+        out["median_depth"] = med.reshape(-1)[:p].reshape(h, w)
+    return out

@@ -85,6 +85,106 @@ def prune(tree: DfsOctree, mask: jnp.ndarray) -> DfsOctree:
     return tree.replace(valid=tree.valid & ~mask)
 
 
+def sample_trivec(tv: jnp.ndarray, rel: jnp.ndarray) -> jnp.ndarray:
+    """Linearly interpolate CP axis-vectors at in-cell coords.
+
+    tv [P, rank, 3, dim] (dim samples spanning the cell, align_corners=True —
+    the convention the reference's subdivision grid_sample uses,
+    octree_dfs.py:322-326); rel [P, 3] in [0,1]. Returns the per-rank
+    separable product vx*vy*vz [P, rank]."""
+    dim = tv.shape[-1]
+    pos = jnp.clip(rel, 0.0, 1.0) * (dim - 1)  # [P,3]
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, dim - 2)
+    w = (pos - i0)[:, None, :]  # [P,1,3]
+    idx0 = i0[:, None, :, None]  # [P,1,3,1]
+    v0 = jnp.take_along_axis(tv, jnp.broadcast_to(idx0, tv.shape[:3] + (1,)), axis=3)[..., 0]
+    v1 = jnp.take_along_axis(tv, jnp.broadcast_to(idx0 + 1, tv.shape[:3] + (1,)), axis=3)[..., 0]
+    v = v0 * (1.0 - w) + v1 * w  # [P, rank, 3]
+    return v[..., 0] * v[..., 1] * v[..., 2]
+
+
+def leaf_index_grid(tree: DfsOctree) -> jnp.ndarray:
+    """Dense [R, R, R] int32 grid mapping finest-resolution cells to leaf
+    ids (-1 = empty), R = 2^max_depth. O(1) point->leaf lookup for the
+    renderer — the TPU replacement for the reference rasterizers' DFS
+    descent (diffoctreerast walks the structure array per ray). Leaves
+    coarser than max_depth fill their whole 2^(max_depth-depth)-cell box;
+    that fill is bounded by a static unroll over depths, so the builder
+    stays jittable for mixed-depth trees up to max_depth<=8."""
+    r = 2 ** tree.max_depth
+    n = tree.capacity
+    grid = jnp.full((r * r * r,), -1, jnp.int32)
+    base = jnp.clip((tree.positions * r).astype(jnp.int32), 0, r - 1)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    for depth in range(tree.max_depth, 0, -1):
+        span = 2 ** (tree.max_depth - depth)
+        sel = tree.valid & (tree.depths == depth)
+        anchor = (base // span) * span
+        offs = jnp.stack(
+            jnp.meshgrid(*([jnp.arange(span)] * 3), indexing="ij"), -1
+        ).reshape(-1, 3)  # [span^3, 3]
+        cells = anchor[:, None, :] + offs[None]  # [N, span^3, 3]
+        lin = (cells[..., 0] * r + cells[..., 1]) * r + cells[..., 2]
+        lin = jnp.where(sel[:, None], lin, r * r * r)  # OOB drop for invalid
+        grid = grid.at[lin.reshape(-1)].set(
+            jnp.broadcast_to(ids[:, None], lin.shape).reshape(-1),
+            mode="drop",
+        )
+    return grid.reshape(r, r, r)
+
+
+def lookup_leaf(grid: jnp.ndarray, points: jnp.ndarray):
+    """points [P,3] in [0,1] -> (leaf ids [P] int32 with -1 miss,
+    in-cell coords [P,3] in [0,1] at the grid's resolution)."""
+    r = grid.shape[0]
+    scaled = points * r
+    cell = jnp.clip(jnp.floor(scaled).astype(jnp.int32), 0, r - 1)
+    inside = jnp.all((points >= 0.0) & (points < 1.0), axis=-1)
+    leaf = grid[cell[:, 0], cell[:, 1], cell[:, 2]]
+    leaf = jnp.where(inside, leaf, -1)
+    rel = jnp.clip(scaled - cell, 0.0, 1.0)
+    return leaf, rel
+
+
+@flax.struct.dataclass
+class VoxelOctree:
+    """Leaves carrying constant density + SH color (the reference's
+    OctreeVoxelRasterizer payload, octree_dfs.py:81-89: features_dc/ac
+    [+ density unless solid])."""
+
+    tree: DfsOctree
+    density: jnp.ndarray      # [N] raw; activation exp(x - 2)
+    colors_dc: jnp.ndarray    # [N, 3]
+    colors_ac: Optional[jnp.ndarray] = None  # [N, S-1, 3] higher SH bands
+    solid: bool = flax.struct.field(pytree_node=False, default=False)
+
+
+@flax.struct.dataclass
+class GaussianOctree:
+    """Leaves as isotropic gaussian blobs (OctreeGaussianRasterizer payload,
+    octree_dfs.py:90-95: opacity raw -> sigmoid(x - 6))."""
+
+    tree: DfsOctree
+    opacity: jnp.ndarray      # [N] raw
+    colors_dc: jnp.ndarray    # [N, 3]
+    colors_ac: Optional[jnp.ndarray] = None
+
+
+@flax.struct.dataclass
+class DecoupolyOctree:
+    """Leaves carrying rank decoupled-polynomial fields (the reference's
+    OctreeDecoupolyRasterizer payload, octree_dfs.py:104-112): per rank a
+    direction V [3] (normalized at eval, octree_dfs.py:162) and polynomial
+    coefficients g [degree] evaluated at t = <V, local coords in [-1,1]>."""
+
+    tree: DfsOctree
+    V: jnp.ndarray            # [N, rank, 3]
+    g: jnp.ndarray            # [N, rank, degree]
+    density: jnp.ndarray      # [N, rank] raw; activation exp(x - 2)
+    colors: jnp.ndarray       # [N, rank, 3]
+    density_shift: float = flax.struct.field(pytree_node=False, default=0.0)
+
+
 @flax.struct.dataclass
 class Strivec:
     """Octree leaves + CP-decomposed (trivec) features: per leaf, `rank`
@@ -95,6 +195,8 @@ class Strivec:
     trivec: jnp.ndarray   # [N, rank, 3, dim]
     density: jnp.ndarray  # [N, rank]
     colors: jnp.ndarray   # [N, rank, 3]
+
+    density_shift: float = flax.struct.field(pytree_node=False, default=0.0)
 
     def density_at(self, points: jnp.ndarray) -> jnp.ndarray:
         """Evaluate CP density at world points [P, 3] (nearest leaf)."""

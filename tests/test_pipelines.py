@@ -167,3 +167,61 @@ def test_inference_utils_alignment():
     # sample_gs picks a subset
     sub = sample_gs(jnp.asarray(act)[None], jnp.ones((1, 2), bool), 1)
     assert sub.shape == (1, 1, 14)
+
+
+def test_trellis_pipeline_multiformat_decode():
+    """decode_slat_formats returns gaussian + mesh + radiance_field outputs
+    (reference pipelines/trellis_image_to_3d.py:198-220), and the RF output
+    renders through the octree renderer."""
+    from gvfdiffusion_tpu.models.trellis.slat_mesh_decoder import SLatMeshDecoder
+    from gvfdiffusion_tpu.models.trellis.slat_rf_decoder import (
+        SLatRadianceFieldDecoder,
+    )
+    from gvfdiffusion_tpu.render.octree_renderer import (
+        OctreeRenderer, OctreeRenderOptions,
+    )
+    from gvfdiffusion_tpu.representations.camera import orbit_camera
+    from gvfdiffusion_tpu.sparse.tensor import from_lists
+
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 8)
+    slat = from_lists(
+        [np.array([[4, 4, 4], [5, 4, 4], [4, 5, 4]])],
+        [np.random.default_rng(0).normal(size=(3, 4)).astype(np.float32)],
+        resolution=16, capacity=16,
+    )
+
+    kw = dict(resolution=16, model_channels=32, latent_channels=4,
+              num_blocks=1, num_heads=4, window_size=4)
+    gs_dec = SLatGaussianDecoder(**kw)
+    gs_p = gs_dec.init(ks[0], slat)
+    mesh_dec = SLatMeshDecoder(use_subdivide=False, **kw)
+    mesh_p = mesh_dec.init(ks[1], slat)
+    rf_dec = SLatRadianceFieldDecoder(rank=2, dim=4, **kw)
+    rf_p = rf_dec.init(ks[2], slat)
+
+    dinov2 = DinoV2(img_size=28, patch_size=14, embed_dim=32, depth=1,
+                    num_heads=4, num_register_tokens=2)
+    pipe = TrellisImageTo3DPipeline(
+        dinov2, None, None, None, None, None, None, None, gs_dec, gs_p,
+        TrellisConfig(grid_resolution=16, voxel_capacity=16),
+        slat_decoder_mesh=mesh_dec, slat_decoder_mesh_params=mesh_p,
+        slat_decoder_rf=rf_dec, slat_decoder_rf_params=rf_p,
+    )
+    out = pipe.decode_slat_formats(
+        slat, formats=("gaussian", "mesh", "radiance_field")
+    )
+    assert set(out) == {"gaussian", "mesh", "radiance_field"}
+    gs, valid = out["gaussian"]
+    assert np.isfinite(np.asarray(gs._xyz)).all()
+    sdf, deform, _res = out["mesh"]
+    assert sdf.shape[1:] == (17, 17, 17) and deform.shape[-1] == 3
+    strivec = out["radiance_field"]
+    assert strivec.trivec.shape[1:] == (2, 3, 4)
+
+    cam = orbit_camera(10.0, 15.0, radius=1.6, height=16, width=16,
+                       target=(0.5, 0.5, 0.5))
+    r = OctreeRenderer(OctreeRenderOptions(num_steps=32))
+    img = r.render(strivec, cam)
+    assert np.isfinite(np.asarray(img["color"])).all()
+    assert "percent_depth" in img

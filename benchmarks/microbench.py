@@ -17,6 +17,8 @@ import time
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
 
+import numpy as np
+
 # persistent compile cache (axon tunnel compiles slowly; see docs/BENCH_NOTES.md)
 import jax as _jax
 
@@ -113,6 +115,39 @@ def bench_attention():
         print(f"{l:>8} {t_f*1e3:>10.1f} {t_w*1e3:>10.1f} {t_s*1e3:>12.1f}")
 
 
+def _random_scene(rng, n):
+    """Low-occlusion translucent cloud (the original microbench scene)."""
+    return np.concatenate(
+        [
+            rng.uniform(-0.3, 0.3, (n, 3)),
+            rng.uniform(0.002, 0.01, (n, 3)),
+            np.tile([1.0, 0, 0, 0], (n, 1)),
+            rng.uniform(-1, 1, (n, 3)),
+            rng.uniform(0.3, 0.9, (n, 1)),
+        ],
+        axis=1,
+    ).astype(np.float32)
+
+
+def _opaque_scene(rng, n):
+    """Near-opaque spherical shell — tiles saturate within a few gaussians,
+    the regime of a trained object (and of the Pallas kernel's transmittance
+    early-exit)."""
+    d = rng.standard_normal((n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True) + 1e-9
+    xyz = d * rng.uniform(0.28, 0.32, (n, 1))
+    return np.concatenate(
+        [
+            xyz,
+            np.full((n, 3), 0.012),
+            np.tile([1.0, 0, 0, 0], (n, 1)),
+            rng.uniform(-1, 1, (n, 3)),
+            np.full((n, 1), 0.97),
+        ],
+        axis=1,
+    ).astype(np.float32)
+
+
 def bench_rasterizer():
     import jax
     import jax.numpy as jnp
@@ -124,32 +159,59 @@ def bench_rasterizer():
 
     print("\n== rasterizer 512^2 (ms/frame) ==")
     rng = np.random.default_rng(0)
-    for n in (16384, 65536):
-        act = np.concatenate(
-            [
-                rng.uniform(-0.3, 0.3, (n, 3)),
-                rng.uniform(0.002, 0.01, (n, 3)),
-                np.tile([1.0, 0, 0, 0], (n, 1)),
-                rng.uniform(-1, 1, (n, 3)),
-                rng.uniform(0.3, 0.9, (n, 1)),
-            ],
-            axis=1,
-        ).astype(np.float32)
-        gs = from_activated(jnp.asarray(act))
-        cam = orbit_camera(30.0, 20.0, radius=2.0, height=512, width=512)
-        row = [f"{n:>8}"]
-        for backend in ("binned", "pallas"):
-            try:
-                r = GaussianRenderer(RenderOptions(
-                    near=0.1, far=10.0, use_mip=True, backend=backend,
-                    max_per_tile=256,
-                ))
-                f = jax.jit(lambda: r.render(gs, cam)["render"])
-                t = timeit(f, iters=5)
-                row.append(f"{backend}={t*1e3:.1f}ms ({1/t:.0f} fps)")
-            except Exception as e:
-                row.append(f"{backend}=ERR({type(e).__name__})")
-        print(" ".join(row))
+    cam = orbit_camera(30.0, 20.0, radius=2.0, height=512, width=512)
+    for scene, make in (("random", _random_scene), ("opaque", _opaque_scene)):
+        for n in (16384, 65536):
+            gs = from_activated(jnp.asarray(make(rng, n)))
+            row = [f"{scene:>7} {n:>8}"]
+            for label, kw in (
+                ("1round", dict(rounds=1)),
+                ("4round-ee", dict(rounds=4, early_exit=True)),
+            ):
+                try:
+                    r = GaussianRenderer(RenderOptions(
+                        near=0.1, far=10.0, use_mip=True, backend="binned",
+                        max_per_tile=256, **kw,
+                    ))
+                    f = jax.jit(lambda: r.render(gs, cam)["render"])
+                    t = timeit(f, iters=5)
+                    row.append(f"{label}={t*1e3:.1f}ms ({1/t:.0f} fps)")
+                except Exception as e:
+                    row.append(f"{label}=ERR({type(e).__name__})")
+            print(" ".join(row))
+
+
+def bench_topk_error():
+    """Quantify the top-K binning approximation on a dense opaque scene
+    (the VAE training regime): PSNR of max_per_tile=K renders against a
+    K=4096 reference at 131k gaussians."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gvfdiffusion_tpu.render.renderer import GaussianRenderer, RenderOptions
+    from gvfdiffusion_tpu.representations.camera import orbit_camera
+    from gvfdiffusion_tpu.representations.gaussians import from_activated
+
+    print("\n== top-K binning error, 131k-gaussian opaque scene @512^2 ==")
+    rng = np.random.default_rng(0)
+    n = 131072
+    gs = from_activated(jnp.asarray(_opaque_scene(rng, n)))
+    cam = orbit_camera(30.0, 20.0, radius=2.0, height=512, width=512)
+
+    def render_k(k):
+        r = GaussianRenderer(RenderOptions(
+            near=0.1, far=10.0, use_mip=True, backend="binned",
+            max_per_tile=k, bg_color=(1.0, 1.0, 1.0),
+        ))
+        return np.asarray(jax.jit(lambda: r.render(gs, cam)["render"])())
+
+    ref = render_k(4096)
+    for k in (64, 256, 1024):
+        img = render_k(k)
+        mse = float(np.mean((img - ref) ** 2))
+        psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+        print(f"  K={k:>5}: PSNR vs K=4096 = {psnr:.1f} dB")
 
 
 def bench_static_vae():
@@ -222,7 +284,7 @@ if __name__ == "__main__":
     p.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--only", default=None,
                    choices=[None, "curves", "attention", "rasterizer",
-                            "static_vae", "dit"])
+                            "topk_error", "static_vae", "dit"])
     args = p.parse_args()
     if args.device == "cpu":
         import jax
@@ -237,6 +299,8 @@ if __name__ == "__main__":
         bench_attention()
     if args.only in (None, "rasterizer"):
         bench_rasterizer()
+    if args.only == "topk_error":
+        bench_topk_error()
     if args.only in (None, "static_vae"):
         bench_static_vae()
     if args.only in (None, "dit"):

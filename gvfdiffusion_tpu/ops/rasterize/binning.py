@@ -47,6 +47,55 @@ def compute_radius(cov2d: jnp.ndarray) -> jnp.ndarray:
     return jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)))
 
 
+def intersect_tiles(
+    mean2d: jnp.ndarray,    # [N, 2] px
+    cov2d: jnp.ndarray,     # [N, 2, 2]
+    opacities: jnp.ndarray,  # [N]
+    valid: jnp.ndarray,     # [N]
+    height: int,
+    width: int,
+    tile: int = 32,
+):
+    """Conservative gaussian-disc vs tile-rect intersection. Returns
+    (inter [T, N] bool, conic [N, 3], n_ty, n_tx)."""
+    n_ty = -(-height // tile)
+    n_tx = -(-width // tile)
+
+    det = cov2d[:, 0, 0] * cov2d[:, 1, 1] - cov2d[:, 0, 1] * cov2d[:, 1, 0]
+    det = jnp.maximum(det, 1e-12)
+    conic = jnp.stack(
+        [cov2d[:, 1, 1] / det, -cov2d[:, 0, 1] / det, cov2d[:, 0, 0] / det], -1
+    )
+    radius = compute_radius(cov2d)
+    ok = valid & (radius > 0) & (opacities > 1.0 / 255.0)
+
+    ty = jnp.arange(n_ty) * tile
+    tx = jnp.arange(n_tx) * tile
+    y0 = jnp.repeat(ty, n_tx)        # [T]
+    x0 = jnp.tile(tx, n_ty)          # [T]
+
+    gx, gy = mean2d[:, 0], mean2d[:, 1]
+    nearest_x = jnp.clip(gx[None, :], x0[:, None], (x0 + tile)[:, None])
+    nearest_y = jnp.clip(gy[None, :], y0[:, None], (y0 + tile)[:, None])
+    d2 = (nearest_x - gx[None, :]) ** 2 + (nearest_y - gy[None, :]) ** 2
+    inter = (d2 <= (radius[None, :] ** 2)) & ok[None, :]  # [T, N]
+    return inter, conic, n_ty, n_tx
+
+
+def select_front(inter, depths, cursor, k):
+    """Per tile, pick the k front-most intersecting gaussians strictly behind
+    `cursor` (the multi-round work-list: cursor advances past what previous
+    rounds blended). inter [T', N], depths [N], cursor [T'] -> (idx [T', k],
+    mask [T', k], new_cursor [T'])."""
+    cand = inter & (depths[None, :] > cursor[:, None])
+    key = jnp.where(cand, -depths[None, :], -jnp.inf)
+    neg_depth, idx = jax.lax.top_k(key, k)  # ascending depth order
+    mask = jnp.isfinite(neg_depth)
+    taken_depth = jnp.where(mask, -neg_depth, -jnp.inf)
+    new_cursor = jnp.maximum(cursor, jnp.max(taken_depth, axis=-1))
+    return idx, mask, new_cursor
+
+
 def bin_gaussians(
     mean2d: jnp.ndarray,    # [N, 2] px
     cov2d: jnp.ndarray,     # [N, 2, 2]
@@ -59,36 +108,12 @@ def bin_gaussians(
     tile: int = 32,
     max_per_tile: int = 256,
 ) -> BinnedGaussians:
-    n_ty = -(-height // tile)
-    n_tx = -(-width // tile)
-    n_tiles = n_ty * n_tx
-
-    det = cov2d[:, 0, 0] * cov2d[:, 1, 1] - cov2d[:, 0, 1] * cov2d[:, 1, 0]
-    det = jnp.maximum(det, 1e-12)
-    conic = jnp.stack(
-        [cov2d[:, 1, 1] / det, -cov2d[:, 0, 1] / det, cov2d[:, 0, 0] / det], -1
+    inter, conic, n_ty, n_tx = intersect_tiles(
+        mean2d, cov2d, opacities, valid, height, width, tile
     )
-    radius = compute_radius(cov2d)
-    ok = valid & (radius > 0) & (opacities > 1.0 / 255.0)
-
-    # tile rects
-    ty = jnp.arange(n_ty) * tile
-    tx = jnp.arange(n_tx) * tile
-    y0 = jnp.repeat(ty, n_tx)        # [T]
-    x0 = jnp.tile(tx, n_ty)          # [T]
-
-    # intersection: gaussian disc vs tile rect (conservative, per tile x N)
-    gx, gy = mean2d[:, 0], mean2d[:, 1]
-    nearest_x = jnp.clip(gx[None, :], x0[:, None], (x0 + tile)[:, None])
-    nearest_y = jnp.clip(gy[None, :], y0[:, None], (y0 + tile)[:, None])
-    d2 = (nearest_x - gx[None, :]) ** 2 + (nearest_y - gy[None, :]) ** 2
-    inter = (d2 <= (radius[None, :] ** 2)) & ok[None, :]  # [T, N]
-
-    # per-tile top-K front-most
     max_per_tile = min(max_per_tile, mean2d.shape[0])
-    key = jnp.where(inter, -depths[None, :], -jnp.inf)
-    neg_depth, idx = jax.lax.top_k(key, max_per_tile)  # ascending depth order
-    mask = jnp.isfinite(neg_depth)
+    cursor = jnp.full((inter.shape[0],), -jnp.inf)
+    idx, mask, _ = select_front(inter, depths, cursor, max_per_tile)
     take = lambda a: jnp.take(a, idx, axis=0)
     return BinnedGaussians(
         mean2d=take(mean2d),

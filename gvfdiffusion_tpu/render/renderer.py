@@ -3,15 +3,21 @@
 Mirrors the reference's GaussianRenderer contract
 (renderers/gaussian_render.py:242-369: rendering_options near/far/bg_color/
 resolution/ssaa, mip toggle + 2D kernel size, delta_pc application with
-detach_static, random background for training) over three interchangeable
-backends:
+detach_static, random background for training) over two backends:
 
   "reference" — dense pure-jnp renderer (tests/small scenes; O(P*N) memory)
-  "binned"    — tile-binned XLA blend (TRAINING: differentiable, bounded memory)
-  "pallas"    — tile-binned Pallas kernel (INFERENCE fast path, forward-only)
+  "binned"    — tile-binned XLA blend, differentiable, bounded memory.
+                `rounds` > 1 blends in depth-cursor rounds so dense scenes
+                converge to the CUDA rasterizer's blend-all semantics
+                (K_effective = max_per_tile * rounds); `early_exit` stops a
+                tile chunk once its pixels saturate (inference only — the
+                while_loop form is not reverse-differentiable).
 
-All three share the same projection math (reference_renderer.project_gaussians)
-so they agree numerically up to per-tile top-K truncation.
+Both share the same projection math (reference_renderer.project_gaussians)
+so they agree numerically up to per-tile top-K truncation. A Pallas blend
+kernel was built and removed: with trustworthy (scalar-fetch) timing it lost
+to the XLA blend on both translucent and opaque scenes (docs/BENCH_NOTES.md,
+round 2) — XLA's fusion of this bandwidth-bound blend is already optimal.
 """
 
 from __future__ import annotations
@@ -22,7 +28,7 @@ import flax.struct
 import jax.numpy as jnp
 
 from ..ops.rasterize.binning import bin_gaussians
-from ..ops.rasterize.xla_blend import blend_tiles
+from ..ops.rasterize.xla_blend import blend_tiles, blend_tiles_multiround
 from ..ops.sh import rgb_from_sh_dc
 from ..representations.camera import Camera
 from ..representations.gaussians import GaussianSplat
@@ -40,6 +46,8 @@ class RenderOptions:
     backend: str = flax.struct.field(pytree_node=False, default="binned")
     tile: int = flax.struct.field(pytree_node=False, default=32)
     max_per_tile: int = flax.struct.field(pytree_node=False, default=256)
+    rounds: int = flax.struct.field(pytree_node=False, default=1)
+    early_exit: bool = flax.struct.field(pytree_node=False, default=False)
 
 
 class GaussianRenderer:
@@ -102,15 +110,19 @@ class GaussianRenderer:
         if valid is not None:
             v = jnp.logical_and(v, valid)
 
-        binned = bin_gaussians(
-            proj["mean2d"], proj["cov2d"], colors, opac, proj["depth"], v,
-            cam.height, cam.width, tile=opt.tile, max_per_tile=opt.max_per_tile,
-        )
-        if opt.backend == "pallas":
-            from ..ops.rasterize.pallas_kernel import rasterize_pallas
-
-            rgb, dep, acc = rasterize_pallas(binned, cam.height, cam.width, bg)
+        if opt.rounds > 1:
+            rgb, dep, acc = blend_tiles_multiround(
+                proj["mean2d"], proj["cov2d"], colors, opac, proj["depth"], v,
+                cam.height, cam.width, bg, tile=opt.tile,
+                per_round=opt.max_per_tile, rounds=opt.rounds,
+                early_exit=opt.early_exit,
+            )
         else:
+            binned = bin_gaussians(
+                proj["mean2d"], proj["cov2d"], colors, opac, proj["depth"], v,
+                cam.height, cam.width, tile=opt.tile,
+                max_per_tile=opt.max_per_tile,
+            )
             rgb, dep, acc = blend_tiles(binned, cam.height, cam.width, bg)
         return self._downsample(
             {"render": rgb, "depth": dep, "alpha": acc}, opt.ssaa

@@ -70,19 +70,38 @@ class RenderJob:
     num_views: int = 24
     num_frames: int = 24
     seed: int = 0
+    gpu_id: int = 0
+    resolution: int = 512
+    mode_multi: bool = False
+    mode_static: bool = False
+    mode_front: bool = True
+    mode_four_view: bool = False
+    augment: bool = False
+    overwrite: bool = False
 
 
 def blender_command(job: RenderJob, blender: str = "blender",
                     script: Optional[str] = None) -> List[str]:
-    """Headless Blender invocation (reference render.py builds the same
-    shape of command around blender_new.py)."""
-    script = script or os.path.join(os.path.dirname(__file__), "blender_render.py")
-    return [
+    """Headless Blender invocation of data_rendering/blender_script.py
+    (reference render.py:38-55 builds the same shape of command around
+    blender_new.py, one process per GPU-pool worker)."""
+    script = script or os.path.join(os.path.dirname(__file__), "blender_script.py")
+    cmd = [
         blender, "--background", "--python", script, "--",
-        "--object", job.obj_path, "--output", job.out_dir,
-        "--num_views", str(job.num_views), "--num_frames", str(job.num_frames),
-        "--seed", str(job.seed),
+        "--object_path", job.obj_path, "--output_dir", job.out_dir,
+        "--view_num", str(job.num_views), "--frame_num", str(job.num_frames),
+        "--seed", str(job.seed), "--gpu_id", str(job.gpu_id),
+        "--resolution", str(job.resolution),
+        "--mode_multi", str(int(job.mode_multi)),
+        "--mode_static", str(int(job.mode_static)),
+        "--mode_front", str(int(job.mode_front)),
+        "--mode_four_view", str(int(job.mode_four_view)),
     ]
+    if job.augment:
+        cmd.append("--augment")
+    if job.overwrite:
+        cmd.append("--overwrite")
+    return cmd
 
 
 class DevicePool:

@@ -36,6 +36,10 @@ class SLatMeshDecoder(nn.Module):
     pe_mode: str = "ape"
     qk_rms_norm: bool = False
     use_subdivide: bool = True
+    # predict FlexiCubes-style per-corner interpolation weights (the
+    # reference's learned extraction weights, flexicubes.py); returns a
+    # 4-tuple (sdf, deform, alpha, res) instead of 3
+    use_flexi_weights: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -60,15 +64,20 @@ class SLatMeshDecoder(nn.Module):
                              name="pre_subdivide")(h)
             h = sparse_subdivide(h)
         h = SparseLayerNorm(affine=False, name="out_norm")(h)
-        # 8 corners x (1 sdf + 3 deform)
-        out = SparseLinear(8 * 4, kernel_init=nn.initializers.zeros,
+        # 8 corners x (1 sdf + 3 deform [+ 1 flexi interp weight])
+        per_corner = 5 if self.use_flexi_weights else 4
+        out = SparseLinear(8 * per_corner, kernel_init=nn.initializers.zeros,
                            bias_init=nn.initializers.zeros, name="out_layer")(h)
 
         b, l, _ = out.feats.shape
         res = h.resolution
-        vals = out.feats.reshape(b, l, 8, 4)
+        vals = out.feats.reshape(b, l, 8, per_corner)
         sdf_c = vals[..., 0] - 0.1  # bias: empty space is outside
-        deform_c = jnp.tanh(vals[..., 1:]) * 0.5
+        deform_c = jnp.tanh(vals[..., 1:4]) * 0.5
+        if self.use_flexi_weights:
+            # FlexiCubes alpha (flexicubes.py learned weights): positive
+            # multiplier on the field at each corner, 1.0 at zero-init
+            alpha_c = jnp.exp(jnp.tanh(vals[..., 4]))
 
         # scatter corner values onto the (R+1)^3 grid (mean over contributors)
         corner_off = jnp.asarray(
@@ -95,6 +104,15 @@ class SLatMeshDecoder(nn.Module):
         # corners never touched by any voxel: far outside
         sdf_grid = jnp.where(occ, sdf_grid, 1.0)
         n = res + 1
+        if self.use_flexi_weights:
+            alpha_grid, _ = jax.vmap(scatter)(alpha_c, flat)
+            alpha_grid = jnp.where(occ, alpha_grid, 1.0)
+            return (
+                sdf_grid.reshape(b, n, n, n),
+                deform_grid.reshape(b, n, n, n, 3),
+                alpha_grid.reshape(b, n, n, n),
+                res,
+            )
         return (
             sdf_grid.reshape(b, n, n, n),
             deform_grid.reshape(b, n, n, n, 3),

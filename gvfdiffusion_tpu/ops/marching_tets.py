@@ -73,8 +73,16 @@ def marching_tets_dense(
     sdf: jnp.ndarray,          # [R+1, R+1, R+1] signed distances at grid corners
     deform: jnp.ndarray = None,  # optional [R+1, R+1, R+1, 3] vertex offsets
     grid_scale: float = 1.0,
+    alpha: jnp.ndarray = None,   # optional [R+1, R+1, R+1] > 0 interp weights
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Extract the iso-surface of a dense SDF grid.
+
+    `alpha` carries FlexiCubes' learned interpolation weights (Shen et al.
+    2023 eq. 6, the reference's flexicubes.py `weight` channels predicted by
+    SparseFeatures2Mesh): the edge crossing uses the reweighted field
+    alpha*sdf, letting the network slide vertices along edges independently
+    of the sign pattern. alpha=None (or all-ones) is plain marching tets.
+    Positive alpha preserves signs, so topology stays that of `sdf`.
 
     Returns (verts [F*3, 3], faces [F, 3], face_valid [F]) — every face gets
     its own 3 unwelded vertices (static shapes; weld on host if needed).
@@ -99,23 +107,28 @@ def marching_tets_dense(
     else:
         cdef = jnp.zeros(cpos.shape, sdf.dtype)
     cxyz = (cpos.astype(sdf.dtype) + cdef) * (grid_scale / r)
+    if alpha is not None:
+        calpha = alpha[cpos[..., 0], cpos[..., 1], cpos[..., 2]]  # [C, 8]
+    else:
+        calpha = jnp.ones_like(csdf)
 
     # per-tet vertices [C, 6, 4]
     tet_sdf = csdf[:, tets]            # [C, 6, 4]
     tet_xyz = cxyz[:, tets]            # [C, 6, 4, 3]
+    tet_alpha = calpha[:, tets]        # [C, 6, 4]
 
-    # case index per tet
+    # case index per tet (sign pattern of the RAW sdf — alpha never flips it)
     inside = (tet_sdf < 0).astype(jnp.int32)
     case = (
         inside[..., 0] + 2 * inside[..., 1] + 4 * inside[..., 2]
         + 8 * inside[..., 3]
     )  # [C, 6]
 
-    # edge interpolation points [C, 6, 6(edges), 3]
+    # edge interpolation points [C, 6, 6(edges), 3] on the reweighted field
     va = tet_xyz[:, :, tet_edges[:, 0]]
     vb = tet_xyz[:, :, tet_edges[:, 1]]
-    sa = tet_sdf[:, :, tet_edges[:, 0]]
-    sb = tet_sdf[:, :, tet_edges[:, 1]]
+    sa = tet_sdf[:, :, tet_edges[:, 0]] * tet_alpha[:, :, tet_edges[:, 0]]
+    sb = tet_sdf[:, :, tet_edges[:, 1]] * tet_alpha[:, :, tet_edges[:, 1]]
     denom = sa - sb
     t = sa / jnp.where(jnp.abs(denom) < 1e-10, 1e-10, denom)
     t = jnp.clip(t, 0.0, 1.0)[..., None]

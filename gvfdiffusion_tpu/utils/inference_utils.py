@@ -51,40 +51,65 @@ def align_gaussian_to_canonical(
     clip_score_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
     clip_weight: float = 0.2,
     camera_kwargs: Optional[dict] = None,
+    coarse_res: int = 128,
+    refine: int = 2,
 ) -> Tuple[GaussianSplat, float, float]:
     """Find the azimuth (and alpha-bbox scale) aligning the generated GS to
     the video's canonical frame. Returns (aligned_gs, best_angle_rad, scale).
+
+    Coarse-to-fine: the 360-candidate sweep (reference inference_utils.py:52,
+    1-degree grid) is scored at `coarse_res` (blend cost scales with pixels,
+    ~16x cheaper at 128 vs 512), then the best +-`refine` neighbours are
+    re-scored at full target resolution. Exact for any scoring function
+    whose coarse argmin lands within `refine` grid steps of the full-res
+    argmin; set coarse_res >= target res to disable.
     """
     h, w = target_image.shape[:2]
     renderer = renderer or GaussianRenderer(RenderOptions(
         near=0.1, far=10.0, bg_color=(1.0, 1.0, 1.0), use_mip=True,
         backend="binned", max_per_tile=128,
     ))
-    cam = orbit_camera(
-        0.0, 0.0, height=h, width=w, **(camera_kwargs or {})
-    )
     angles = jnp.linspace(0.0, 2 * jnp.pi, n_angles, endpoint=False)
 
-    def render_at(angle):
-        g = rotate_gaussians_z(gs, angle)
-        out = renderer.render(g, cam, valid=valid)
-        return out["render"], out["alpha"]
+    def score_at(angles_sub, res_h, res_w, tgt, collect_alpha):
+        cam = orbit_camera(
+            0.0, 0.0, height=res_h, width=res_w, **(camera_kwargs or {})
+        )
 
-    # batch all candidate angles through one vmapped render
-    renders, alphas = jax.lax.map(render_at, angles, batch_size=8)
+        def render_at(angle):
+            g = rotate_gaussians_z(gs, angle)
+            out = renderer.render(g, cam, valid=valid)
+            return out["render"], out["alpha"]
 
-    l1 = jnp.mean(jnp.abs(renders - target_image[None]), axis=(1, 2, 3))
-    score = l1
-    if clip_score_fn is not None:
-        sim = jnp.asarray(clip_score_fn(np.asarray(renders)))
-        score = l1 + clip_weight * (1.0 - sim)
-    best = int(jnp.argmin(score))
+        renders, alphas = jax.lax.map(render_at, angles_sub, batch_size=8)
+        l1 = jnp.mean(jnp.abs(renders - tgt[None]), axis=(1, 2, 3))
+        score = l1
+        if clip_score_fn is not None:
+            sim = jnp.asarray(clip_score_fn(np.asarray(renders)))
+            score = l1 + clip_weight * (1.0 - sim)
+        return score, (alphas if collect_alpha else None)
+
+    two_stage = coarse_res < min(h, w)
+    if two_stage:
+        ch = max(coarse_res, 1)
+        cw = max(int(round(coarse_res * w / h)), 1)
+        tgt_c = jax.image.resize(target_image, (ch, cw, 3), "bilinear")
+        coarse_score, _ = score_at(angles, ch, cw, tgt_c, False)
+        c_best = int(jnp.argmin(coarse_score))
+        idx = (np.arange(-refine, refine + 1) + c_best) % n_angles
+        cand = angles[jnp.asarray(idx)]
+    else:
+        cand = angles
+        idx = np.arange(n_angles)
+    fine_score, alphas = score_at(cand, h, w, target_image, True)
+    best_local = int(jnp.argmin(fine_score))
+    best = int(idx[best_local])
     best_angle = float(angles[best])
 
     # scale factor from alpha bounding boxes (reference :150-170)
     scale = 1.0
     if target_alpha is not None:
-        ra = np.asarray(alphas[best]) > 0.5
+        ra = np.asarray(alphas[best_local]) > 0.5
         ta = np.asarray(target_alpha) > 0.5
         if ra.any() and ta.any():
             def extent(m):

@@ -243,3 +243,43 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     return {k: v.detach().cpu().numpy() for k, v in strip_prefix(sd).items()}
+
+
+def convert_dinov2(state_dict: Dict[str, Any], depth: int = 24) -> Dict:
+    """facebookresearch/dinov2 ViT (with registers) torch state dict ->
+    flax params for models/dinov2.DinoV2.
+
+    Key map (torch hub `dinov2_vitl14_reg` layout):
+      cls_token/pos_embed/register_tokens     bare parameters
+      patch_embed.proj                        Conv2d -> patch_embed/proj
+      blocks.N.{norm1,norm2}                  LayerNorm -> blocks_N/norm*
+      blocks.N.attn.{qkv,proj}                -> blocks_N/attn/{to_qkv,to_out}
+        (timm qkv stacking [3C, C] with (3, H, hd) unpack order matches the
+         flax reshape in nn/attention.py, so a plain transpose is exact)
+      blocks.N.{ls1,ls2}.gamma                LayerScale -> ls{1,2}_gamma
+      blocks.N.mlp.{fc1,fc2}                  -> blocks_N/mlp/{fc1,fc2}
+      norm                                    final LayerNorm
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    p: Dict = {}
+    p["cls_token"] = sd["cls_token"]
+    p["pos_embed"] = sd["pos_embed"]
+    if "register_tokens" in sd:
+        p["register_tokens"] = sd["register_tokens"]
+    set_in(p, ["patch_embed", "proj", "kernel"],
+           _conv2d(sd["patch_embed.proj.weight"]))
+    set_in(p, ["patch_embed", "proj", "bias"],
+           np.asarray(sd["patch_embed.proj.bias"]))
+    for i in range(depth):
+        b = f"blocks.{i}"
+        fp = [f"blocks_{i}"]
+        _layernorm(sd, f"{b}.norm1", p, fp + ["norm1"])
+        _layernorm(sd, f"{b}.norm2", p, fp + ["norm2"])
+        _linear(sd, f"{b}.attn.qkv", p, fp + ["attn", "to_qkv"])
+        _linear(sd, f"{b}.attn.proj", p, fp + ["attn", "to_out"])
+        set_in(p, fp + ["ls1_gamma"], np.asarray(sd[f"{b}.ls1.gamma"]))
+        set_in(p, fp + ["ls2_gamma"], np.asarray(sd[f"{b}.ls2.gamma"]))
+        _linear(sd, f"{b}.mlp.fc1", p, fp + ["mlp", "fc1"])
+        _linear(sd, f"{b}.mlp.fc2", p, fp + ["mlp", "fc2"])
+    _layernorm(sd, "norm", p, ["norm"])
+    return {"params": p}

@@ -1,8 +1,12 @@
 """Full in-the-wild pipeline composition test (tiny models) + DPM inverse."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.slow
 
 
 def test_dpm_inverse_roundtrip():

@@ -102,3 +102,63 @@ def test_slat_mesh_decoder_shapes():
     assert sdf.shape == (1, 17, 17, 17)
     assert deform.shape == (1, 17, 17, 17, 3)
     assert np.isfinite(np.asarray(sdf)).all()
+
+
+def test_flexicubes_alpha_slides_vertices_not_topology():
+    """alpha=1 reproduces plain MT exactly; non-uniform positive alpha moves
+    crossing points along their edges without changing which faces exist
+    (FlexiCubes' learned interpolation weights, ref flexicubes.py)."""
+    import jax
+
+    r = 6
+    g = (np.arange(r + 1)) / r
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    sdf = jnp.asarray(
+        np.sqrt((x - 0.5) ** 2 + (y - 0.5) ** 2 + (z - 0.5) ** 2) - 0.3,
+        jnp.float32,
+    )
+    v0, f0, m0 = marching_tets_dense(sdf)
+    v1, f1, m1 = marching_tets_dense(sdf, alpha=jnp.ones_like(sdf))
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=0)
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+
+    rng = np.random.default_rng(0)
+    alpha = jnp.asarray(
+        np.exp(rng.uniform(-0.5, 0.5, sdf.shape)), jnp.float32)
+    v2, _, m2 = marching_tets_dense(sdf, alpha=alpha)
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m2))  # topology
+    moved = np.abs(np.asarray(v2) - np.asarray(v0)).max()
+    assert moved > 1e-3  # vertices actually slid
+
+    # differentiable w.r.t. alpha
+    def loss(a):
+        v, _, m = marching_tets_dense(sdf, alpha=a)
+        return jnp.sum(v**2)
+
+    ga = np.asarray(jax.grad(loss)(alpha))
+    assert np.isfinite(ga).all() and np.abs(ga).max() > 0
+
+
+def test_mesh_decoder_flexi_weights_head():
+    import jax
+
+    from gvfdiffusion_tpu.models.trellis.slat_mesh_decoder import SLatMeshDecoder
+    from gvfdiffusion_tpu.sparse.tensor import from_lists
+
+    slat = from_lists(
+        [np.array([[2, 2, 2], [3, 2, 2]])],
+        [np.random.default_rng(0).normal(size=(2, 4)).astype(np.float32)],
+        resolution=8, capacity=8,
+    )
+    dec = SLatMeshDecoder(resolution=8, model_channels=16, latent_channels=4,
+                          num_blocks=1, num_heads=2, window_size=4,
+                          use_subdivide=False, use_flexi_weights=True)
+    params = dec.init(jax.random.PRNGKey(0), slat)
+    sdf, deform, alpha, res = dec.apply(params, slat)
+    assert sdf.shape == (1, 9, 9, 9) and alpha.shape == (1, 9, 9, 9)
+    a = np.asarray(alpha)
+    assert (a > 0).all()
+    # zero-init head -> alpha exactly 1 everywhere at init
+    np.testing.assert_allclose(a, 1.0, atol=1e-6)
+    verts, faces, valid = marching_tets_dense(sdf[0], deform[0], alpha=alpha[0])
+    assert np.isfinite(np.asarray(verts)).all()

@@ -1,5 +1,7 @@
 """MODNet matting: forward shapes, matting_fn hook contract, param IO."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +14,7 @@ def tiny_model():
     return MODNet(hr_channels=8, backbone_width=0.25)
 
 
+@pytest.mark.slow
 def test_modnet_forward_shapes():
     model = tiny_model()
     x = jnp.zeros((1, 64, 96, 3))

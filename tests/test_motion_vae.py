@@ -1,5 +1,7 @@
 """Motion VAE tests: shapes, zero-init decoder, KL, roundtrip smoke."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -93,6 +95,7 @@ def test_jit_full_forward():
     assert np.isfinite(np.asarray(out["kl"])).all()
 
 
+@pytest.mark.slow
 def test_grads_finite():
     model = tiny_vae()
     inputs = make_inputs(jax.random.PRNGKey(0))

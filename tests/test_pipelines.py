@@ -1,5 +1,7 @@
 """Pipeline smoke tests: TRELLIS image->3D (tiny models) and video->4D."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,6 +19,7 @@ from gvfdiffusion_tpu.pipelines.trellis_image_to_3d import (
 from gvfdiffusion_tpu.pipelines.video_to_4d import VideoTo4DConfig, VideoTo4DPipeline
 
 
+@pytest.mark.slow
 def test_trellis_pipeline_tiny_end_to_end():
     rng = jax.random.PRNGKey(0)
     ks = jax.random.split(rng, 8)
@@ -225,3 +228,43 @@ def test_trellis_pipeline_multiformat_decode():
     img = r.render(strivec, cam)
     assert np.isfinite(np.asarray(img["color"])).all()
     assert "percent_depth" in img
+
+
+def test_alignment_coarse_to_fine_matches_single_stage():
+    """The two-stage (coarse half-res -> refine) search must find the same
+    angle as the exhaustive full-res sweep. (The coarse stage needs enough
+    pixels to see the object: production targets are 512^2 with coarse 128;
+    here 48^2 with coarse 24.)"""
+    from gvfdiffusion_tpu.render.renderer import GaussianRenderer, RenderOptions
+    from gvfdiffusion_tpu.representations.camera import orbit_camera
+    from gvfdiffusion_tpu.representations.gaussians import from_activated
+    from gvfdiffusion_tpu.utils.inference_utils import (
+        align_gaussian_to_canonical, rotate_gaussians_z,
+    )
+
+    act = np.zeros((2, 14), np.float32)
+    act[:, 0] = [0.15, 0.25]
+    act[:, 3:6] = 0.04
+    act[:, 6] = 1.0
+    act[:, 10:13] = [[1.0, -1.0, -1.0]] * 2
+    act[:, 13] = 0.95
+    gs = from_activated(jnp.asarray(act))
+    renderer = GaussianRenderer(RenderOptions(
+        near=0.1, far=10.0, bg_color=(1.0, 1.0, 1.0), use_mip=False,
+        backend="binned", max_per_tile=8,
+    ))
+    cam_kwargs = dict(radius=1.5, fov_deg=45.0)
+    true_angle = 2 * np.pi * 5 / 16
+    gt = rotate_gaussians_z(gs, jnp.float32(true_angle))
+    cam = orbit_camera(0.0, 0.0, height=48, width=48, **cam_kwargs)
+    target = renderer.render(gt, cam)["render"]
+
+    kw = dict(n_angles=16, renderer=renderer, camera_kwargs=cam_kwargs)
+    _, a_full, _ = align_gaussian_to_canonical(
+        gs, target, coarse_res=64, **kw)   # coarse >= res: single stage
+    _, a_two, _ = align_gaussian_to_canonical(
+        gs, target, coarse_res=24, refine=2, **kw)
+    assert abs(a_full - a_two) < 1e-6
+    step = 2 * np.pi / 16
+    diff = abs(((a_two - true_angle) + np.pi) % (2 * np.pi) - np.pi)
+    assert diff <= step + 1e-6

@@ -1,5 +1,7 @@
 """Sequence-parallel motion-VAE decode == single-device decode (8-dev mesh)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,6 +9,8 @@ import numpy as np
 from gvfdiffusion_tpu.models.motion_vae import MotionVAE, pad_static_gs
 from gvfdiffusion_tpu.parallel.mesh import make_mesh
 from gvfdiffusion_tpu.parallel.sequence_parallel import decode_sequence_parallel
+
+pytestmark = pytest.mark.slow
 
 
 def test_sp_decode_matches_single_device():

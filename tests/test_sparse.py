@@ -1,6 +1,8 @@
 """Sparse runtime tests: tensor invariants, conv vs dense conv, pooling
 roundtrip, attention modes vs brute-force masked reference."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -342,6 +344,7 @@ def test_compact_scatter_roundtrip():
     np.testing.assert_array_equal(np.asarray(z.valid), np.asarray(x.valid))
 
 
+@pytest.mark.slow
 def test_slat_flow_compacted_torso_matches():
     """SLat flow with torso compaction == without (same params, same input)."""
     from gvfdiffusion_tpu.models.trellis.slat_flow import SLatFlowModel

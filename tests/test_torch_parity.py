@@ -656,3 +656,99 @@ def test_static_vae_parity(old_impl):
             np.asarray(m_out.feats[0, li]), _np(t_out.feats[ti]),
             rtol=5e-4, atol=5e-4, err_msg=f"decode voxel {li}",
         )
+
+
+def test_dinov2_converter_parity():
+    """convert_dinov2 vs a minimal torch ViT implementing the DINOv2 block
+    math (pre-norm attn/MLP with LayerScale, registers, fused qkv in the
+    torch-hub key layout). Same random weights -> same prenorm tokens."""
+    import torch.nn as tnn
+
+    dim, heads, depth, patch, img, regs = 32, 4, 2, 14, 28, 2
+
+    class TAttn(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.qkv = tnn.Linear(dim, dim * 3)
+            self.proj = tnn.Linear(dim, dim)
+
+        def forward(self, x):
+            B, N, C = x.shape
+            qkv = self.qkv(x).reshape(B, N, 3, heads, C // heads)
+            q, k, v = qkv.permute(2, 0, 3, 1, 4)
+            att = (q @ k.transpose(-2, -1)) / (C // heads) ** 0.5
+            out = att.softmax(-1) @ v
+            return self.proj(out.transpose(1, 2).reshape(B, N, C))
+
+    class TLS(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.gamma = tnn.Parameter(torch.ones(dim))
+
+        def forward(self, x):
+            return x * self.gamma
+
+    class TMlp(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1 = tnn.Linear(dim, dim * 4)
+            self.fc2 = tnn.Linear(dim * 4, dim)
+
+        def forward(self, x):
+            return self.fc2(tnn.functional.gelu(self.fc1(x)))
+
+    class TBlock(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = tnn.LayerNorm(dim, eps=1e-6)
+            self.attn = TAttn()
+            self.ls1 = TLS()
+            self.norm2 = tnn.LayerNorm(dim, eps=1e-6)
+            self.mlp = TMlp()
+            self.ls2 = TLS()
+
+        def forward(self, x):
+            x = x + self.ls1(self.attn(self.norm1(x)))
+            return x + self.ls2(self.mlp(self.norm2(x)))
+
+    class TPatch(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.proj = tnn.Conv2d(3, dim, patch, stride=patch)
+
+    class TViT(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            n = (img // patch) ** 2
+            self.cls_token = tnn.Parameter(torch.zeros(1, 1, dim))
+            self.pos_embed = tnn.Parameter(torch.zeros(1, 1 + n, dim))
+            self.register_tokens = tnn.Parameter(torch.zeros(1, regs, dim))
+            self.patch_embed = TPatch()
+            self.blocks = tnn.ModuleList([TBlock() for _ in range(depth)])
+            self.norm = tnn.LayerNorm(dim, eps=1e-6)
+
+        def forward(self, x):
+            B = x.shape[0]
+            h = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+            h = h + self.pos_embed[:, 1:]
+            cls = (self.cls_token + self.pos_embed[:, :1]).expand(B, -1, -1)
+            reg = self.register_tokens.expand(B, -1, -1)
+            h = torch.cat([cls, reg, h], dim=1)
+            for b in self.blocks:
+                h = b(h)
+            return h  # x_prenorm
+
+    tm = _randomize(TViT(), seed=3)
+    x = torch.randn(2, 3, img, img, generator=torch.Generator().manual_seed(9))
+    with torch.no_grad():
+        expect = _np(tm(x))
+
+    from gvfdiffusion_tpu.models.dinov2 import DinoV2
+
+    model = DinoV2(img_size=img, patch_size=patch, embed_dim=dim, depth=depth,
+                   num_heads=heads, num_register_tokens=regs)
+    params = wc.convert_dinov2(
+        {k: _np(v) for k, v in tm.state_dict().items()}, depth=depth
+    )
+    prenorm, _ = model.apply(params, jnp.asarray(_np(x).transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(prenorm), expect, atol=2e-5)

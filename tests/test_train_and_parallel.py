@@ -1,5 +1,7 @@
 """Training step + multi-device DP sharding tests (8-device virtual CPU mesh)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +13,8 @@ from gvfdiffusion_tpu.train.diffusion_trainer import make_train_step
 from gvfdiffusion_tpu.train.train_state import (
     apply_updates, create_train_state, make_optimizer,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def tiny_setup(B=4):

@@ -1,5 +1,7 @@
 """Two-phase VAE trainer tests on tiny synthetic scenes."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -14,6 +16,8 @@ from gvfdiffusion_tpu.train.train_state import create_train_state, make_optimize
 from gvfdiffusion_tpu.train.vae_trainer import (
     make_joint_vae_step, make_static_vae_step, render_loss,
 )
+
+pytestmark = pytest.mark.slow
 
 GS_CFG = GSConfig()
 H = W = 32

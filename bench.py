@@ -137,6 +137,16 @@ def bench_denoise():
     return dt
 
 
+def _free(*arrays):
+    """Release device buffers NOW. HBM on one v5e chip cannot hold every
+    stage's params at once (ViT-L alone is 1.2 GB fp32); each stage frees its
+    weights before the next builds (the real pipeline would do the same)."""
+    for a in arrays:
+        for leaf in jax.tree.leaves(a):
+            if hasattr(leaf, "delete"):
+                leaf.delete()
+
+
 def bench_e2e():
     """BASELINE config #1 at reference shapes, random weights."""
     from gvfdiffusion_tpu.diffusion.flow_euler import (
@@ -172,7 +182,11 @@ def bench_e2e():
     cond_tokens = dino.apply(dparams, frames[:1])
     if isinstance(cond_tokens, tuple):
         cond_tokens = cond_tokens[0]
-    cond_1 = jnp.asarray(cond_tokens[:1], jnp.float32)  # [1, 1370, 1024]
+    # copy=True: a same-dtype slice can alias cond_tokens' buffer, which is
+    # about to be freed (measured: "Array has been deleted" without the copy)
+    cond_1 = jnp.array(cond_tokens[:1], jnp.float32, copy=True)  # [1,1370,1024]
+    _sync(cond_1)
+    _free(dparams, frames, cond_tokens)
 
     # ---- stage 2: sparse-structure flow (12 Euler steps, cfg 7.5) --------
     ss_flow = SparseStructureFlowModel(dtype=dtype)
@@ -189,12 +203,14 @@ def bench_e2e():
 
     ss_sample_j = jax.jit(ss_sample)
     stages["ss_flow_12"] = _time_stage("ss_flow_12", ss_sample_j, ss_params, ss_x, cond_1)
+    _free(ss_params)
 
     # ---- stage 3: sparse-structure decode (16^3 latent -> 64^3 occ) ------
     ss_dec = SparseStructureDecoder(dtype=dtype)
     ss_dec_params = ss_dec.init(key, ss_x)
     ss_dec_j = jax.jit(lambda p, z: ss_dec.apply(p, z))
     stages["ss_decode"] = _time_stage("ss_decode", ss_dec_j, ss_dec_params, ss_x)
+    _free(ss_dec_params, ss_x)
 
     # ---- stage 4: SLat flow (12 steps, cfg 3, guidance interval) ---------
     # structure: L_VOX active voxels at 64^3; torso compacted to 4096 slots
@@ -213,7 +229,17 @@ def bench_e2e():
         sampler = FlowEulerGuidanceIntervalSampler()
 
         def model(x_feats, t, cc):
-            x = structure.replace(feats=x_feats)
+            # batched-CFG passes 2B feats; tile the closed-over structure
+            b = x_feats.shape[0]
+            st = structure
+            if b != structure.feats.shape[0]:
+                rep = b // structure.feats.shape[0]
+                st = structure.replace(
+                    feats=jnp.tile(structure.feats, (rep, 1, 1)),
+                    coords=jnp.tile(structure.coords, (rep, 1, 1)),
+                    valid=jnp.tile(structure.valid, (rep, 1)),
+                )
+            x = st.replace(feats=x_feats)
             return slat_flow.apply(params, x, t, cc).feats
 
         return sampler.sample(
@@ -226,6 +252,7 @@ def bench_e2e():
     stages["slat_flow_12"] = _time_stage(
         "slat_flow_12", slat_sample_j, slat_params, noise_feats, cond_1
     )
+    _free(slat_params, cond_1)
 
     # ---- stage 5: SLat -> Gaussians decode --------------------------------
     slat = structure.replace(feats=noise_feats)
@@ -234,6 +261,7 @@ def bench_e2e():
     gs_dec_j = jax.jit(lambda p, s: gs_dec.apply(p, s))
     stages["slat_gs_decode"] = _time_stage("slat_gs_decode", gs_dec_j, gs_params, slat)
     gs_b, gs_valid = gs_dec.apply(gs_params, slat)
+    _free(gs_params, noise_feats)
     gs0 = gs_b.replace(  # batch slice of the per-gaussian fields; aabb shared
         _xyz=gs_b._xyz[0], _features_dc=gs_b._features_dc[0],
         _scaling=gs_b._scaling[0], _rotation=gs_b._rotation[0],
@@ -250,23 +278,41 @@ def bench_e2e():
         )[0]
 
     stages["alignment_360"] = _time_stage("alignment_360", align, iters=1)
+    # gs0/valid0 are rank-reducing slices (own buffers); the batched decode
+    # outputs and every live executable's workspace must go before the
+    # denoise program, which needs nearly all of HBM. The persistent compile
+    # cache makes the re-traces after clear_caches cheap.
+    # free gs_b's big per-gaussian fields only: gs0 re-sliced them into new
+    # buffers but SHARES the small aabb array — deleting it kills gs0
+    _free(target, gs_b._xyz, gs_b._features_dc, gs_b._scaling,
+          gs_b._rotation, gs_b._opacity, gs_valid)
+    jax.clear_caches()
 
     # ---- stage 7: DPM denoise (the core 32-step stage) --------------------
     sample, noise, params, cond = build_denoise()
     stages["dpm_denoise_32"] = _time_stage(
         "dpm_denoise_32", sample, noise, params, cond
     )
+    _free(params, noise, cond)
+    del sample
+    jax.clear_caches()  # the denoise executable reserves most of HBM
 
     # ---- stage 8: motion-VAE delta decode ---------------------------------
     vae = MotionVAE(dtype=dtype)
     z = jnp.asarray(rng.standard_normal((T_FRAMES, 512, 16)), jnp.float32)
     queries = jnp.asarray(rng.standard_normal((1, G, 14)), jnp.float32)
-    vparams = vae.init(key, z, queries[:, :8192], T_FRAMES, method=vae.decode)
+    # jit the init: eager init materializes every unfused intermediate of a
+    # [32, 8192, dim] cross-attention (multi-GB transients); compiled it
+    # peaks far lower
+    vparams = jax.jit(
+        lambda k, zz, qq: vae.init(k, zz, qq, T_FRAMES, method=vae.decode)
+    )(key, z, queries[:, :8192])
     vae_dec_j = jax.jit(
         lambda p, z, q: vae.apply(p, z, q, T_FRAMES, 8192, method=vae.decode)
     )
     stages["vae_decode"] = _time_stage("vae_decode", vae_dec_j, vparams, z, queries)
     deltas = vae_dec_j(vparams, z, queries)
+    _free(vparams, z)
 
     # ---- stage 9: 24-frame render sweep @512^2 ----------------------------
     renderer = GaussianRenderer(RenderOptions(
@@ -310,6 +356,7 @@ def main():
         }))
     except Exception as e:  # fall back to the always-green denoise metric
         print(f"e2e bench failed: {e!r}", file=sys.stderr)
+        jax.clear_caches()  # drop live executables/buffers before rebuilding
         dt = bench_denoise()
         print(json.dumps({
             "metric": "dpm32_denoise_latency_b1_cfg3",

@@ -115,10 +115,14 @@ def main():
                        target=(0.0, 0.0, 0.0))
 
     gs, valid = out["gaussian"]
+    gs0 = gs.replace(  # batch-0 slice of the per-gaussian fields
+        _xyz=gs._xyz[0], _features_dc=gs._features_dc[0],
+        _scaling=gs._scaling[0], _rotation=gs._rotation[0],
+        _opacity=gs._opacity[0],
+    )
     r = GaussianRenderer(RenderOptions(near=0.1, far=10.0, max_per_tile=64,
                                        rounds=2, early_exit=True))
-    gimg = r.render(gs[0] if hasattr(gs, "__getitem__") else gs, cam,
-                    valid=valid[0])["render"]
+    gimg = r.render(gs0, cam, valid=valid[0])["render"]
     stat("render_gaussian", gimg)
     panels.append(np.asarray(gimg))
 
@@ -127,7 +131,8 @@ def main():
                                                alpha=alpha[0])
     mcam = orbit_camera(30.0, 20.0, radius=1.6, height=64, width=64,
                         target=(0.5, 0.5, 0.5))
-    mimg = render_mesh(verts, faces, fvalid, mcam)["render"]
+    mout = render_mesh(verts, faces, fvalid, mcam)
+    mimg = (mout["normal"] * 0.5 + 0.5) * mout["mask"][..., None]
     stat("render_mesh", mimg)
     panels.append(np.asarray(mimg))
 

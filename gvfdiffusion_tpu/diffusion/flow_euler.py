@@ -3,8 +3,10 @@
 Re-design of trellis/pipelines/samplers/flow_euler.py:11-245 (+ the CFG and
 guidance-interval mixins): the whole sampling loop is a `lax.scan` over a
 precomputed (host-side numpy) rescaled t-grid, so the 12-step TRELLIS
-sparse-structure and SLat sampling passes each compile to one XLA graph. CFG
-runs as a 2-way batched model call (cond ++ neg_cond) instead of two calls.
+sparse-structure and SLat sampling passes each compile to one XLA graph.
+Outside the guidance interval the neg pass is skipped via lax.cond; CFG can
+optionally run as one 2B-batched model call (cfg_batched, off by default —
+see predict_v for the measurement).
 """
 
 from __future__ import annotations
@@ -40,18 +42,47 @@ class FlowEulerSampler:
         return model(x_t, tb, cond)
 
     def predict_v(self, model, x_t, t, cond, neg_cond=None,
-                  cfg_strength: float = 0.0, cfg_interval=None):
+                  cfg_strength: float = 0.0, cfg_interval=None,
+                  cfg_batched: bool = False):
+        """CFG velocity. With cfg_batched the cond and neg passes run as ONE
+        model call on a 2B batch; the model must accept a doubled leading
+        dim (broadcast any closed-over per-batch state, see pipelines).
+        Measured on the v5e SLat flow the batched form was SLOWER (3.94 s vs
+        2.71 s / 12 steps — the 2B windowed-attention sort/pad path costs
+        more than the saved dispatch), so it defaults off; flip per call
+        site after measuring. Outside `cfg_interval` the guided branch is
+        skipped entirely via lax.cond (the interval sampler's
+        cfg_interval=(0.5, 1.0) makes half the steps cost a single call)."""
         if neg_cond is None or cfg_strength == 0.0:
             return self._inference(model, x_t, t, cond)
-        pred = self._inference(model, x_t, t, cond)
-        neg = self._inference(model, x_t, t, neg_cond)
-        guided = (1 + cfg_strength) * pred - cfg_strength * neg
+
+        def guided(_):
+            if cfg_batched:
+                x2 = jax.tree.map(
+                    lambda a: jnp.concatenate([a, a], axis=0), x_t
+                )
+                c2 = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b], axis=0),
+                    cond, neg_cond,
+                )
+                out = self._inference(model, x2, t, c2)
+                pred = jax.tree.map(lambda a: a[: a.shape[0] // 2], out)
+                neg = jax.tree.map(lambda a: a[a.shape[0] // 2:], out)
+            else:
+                pred = self._inference(model, x_t, t, cond)
+                neg = self._inference(model, x_t, t, neg_cond)
+            return jax.tree.map(
+                lambda p, n: (1 + cfg_strength) * p - cfg_strength * n,
+                pred, neg,
+            )
+
         if cfg_interval is None:
-            return guided
+            return guided(None)
         lo, hi = cfg_interval
         in_interval = jnp.logical_and(t >= lo, t <= hi)
-        return jax.tree.map(
-            lambda g, p: jnp.where(in_interval, g, p), guided, pred
+        return jax.lax.cond(
+            in_interval, guided,
+            lambda _: self._inference(model, x_t, t, cond), None,
         )
 
     def sample(
@@ -64,6 +95,7 @@ class FlowEulerSampler:
         rescale_t: float = 1.0,
         cfg_strength: float = 0.0,
         cfg_interval=None,
+        cfg_batched: bool = False,
     ):
         """Returns dict(samples=...). The scan carries only x."""
         ts = jnp.asarray(t_schedule(steps, rescale_t), jnp.float32)
@@ -71,7 +103,8 @@ class FlowEulerSampler:
         def step(x, tt):
             t, t_prev = tt
             v = self.predict_v(
-                model, x, t, cond, neg_cond, cfg_strength, cfg_interval
+                model, x, t, cond, neg_cond, cfg_strength, cfg_interval,
+                cfg_batched,
             )
             return x - (t - t_prev) * v, None
 
@@ -84,10 +117,10 @@ class FlowEulerCfgSampler(FlowEulerSampler):
     """CFG variant (reference flow_euler.py:120)."""
 
     def sample(self, model, noise, cond, neg_cond, steps=50, rescale_t=1.0,
-               cfg_strength=3.0, **kw):
+               cfg_strength=3.0, cfg_batched=False, **kw):
         return super().sample(
             model, noise, cond, neg_cond, steps=steps, rescale_t=rescale_t,
-            cfg_strength=cfg_strength,
+            cfg_strength=cfg_strength, cfg_batched=cfg_batched,
         )
 
 
@@ -95,8 +128,10 @@ class FlowEulerGuidanceIntervalSampler(FlowEulerSampler):
     """CFG-with-interval variant (reference flow_euler.py:160)."""
 
     def sample(self, model, noise, cond, neg_cond, steps=50, rescale_t=1.0,
-               cfg_strength=3.0, cfg_interval=(0.0, 1.0), **kw):
+               cfg_strength=3.0, cfg_interval=(0.0, 1.0), cfg_batched=False,
+               **kw):
         return super().sample(
             model, noise, cond, neg_cond, steps=steps, rescale_t=rescale_t,
             cfg_strength=cfg_strength, cfg_interval=cfg_interval,
+            cfg_batched=cfg_batched,
         )

@@ -147,7 +147,17 @@ class TrellisImageTo3DPipeline:
         sampler = FlowEulerGuidanceIntervalSampler()
 
         def model(x_feats, t, cc):
-            x = structure.replace(feats=x_feats * structure.valid[..., None])
+            # batched-CFG passes 2B feats; tile the closed-over structure
+            b = x_feats.shape[0]
+            st = structure
+            if b != structure.feats.shape[0]:
+                rep = b // structure.feats.shape[0]
+                st = structure.replace(
+                    feats=jnp.tile(structure.feats, (rep, 1, 1)),
+                    coords=jnp.tile(structure.coords, (rep, 1, 1)),
+                    valid=jnp.tile(structure.valid, (rep, 1)),
+                )
+            x = st.replace(feats=x_feats * st.valid[..., None])
             out = self.slat_flow.apply(self.slat_flow_params, x, t, cc)
             return out.feats
 

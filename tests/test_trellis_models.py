@@ -139,17 +139,30 @@ def test_flow_euler_recovers_target():
     np.testing.assert_allclose(np.asarray(out["samples"]), 0.6, atol=1e-2)
 
 
-def test_flow_euler_cfg_interval():
-    calls = {"n": 0}
+def test_flow_euler_cfg_interval_batched_matches_sequential():
+    """Batched CFG (one 2B model call) must equal the two-call form, and the
+    lax.cond interval skip must preserve the outside-interval behavior."""
 
     def model(x_t, t_input, cond):
-        calls["n"] += 1
-        return jnp.zeros_like(x_t) + (1.0 if cond == "c" else 0.0)
+        # velocity depends on both state and conditioning, batch-generic
+        return 0.3 * x_t + cond
 
+    cond = jnp.full((1, 4), 1.0)
+    neg = jnp.full((1, 4), -0.5)
+    noise = jnp.asarray([[0.1, -0.2, 0.3, -0.4]])
     sampler = FlowEulerGuidanceIntervalSampler()
-    noise = jnp.zeros((1, 4))
-    out = sampler.sample(
-        model, noise, cond="c", neg_cond="n", steps=4, cfg_strength=2.0,
-        cfg_interval=(0.2, 0.8),
+    kw = dict(steps=6, cfg_strength=2.0, cfg_interval=(0.2, 0.8))
+    out_b = sampler.sample(model, noise, cond, neg, cfg_batched=True, **kw)
+    out_s = sampler.sample(model, noise, cond, neg, cfg_batched=False, **kw)
+    np.testing.assert_allclose(
+        np.asarray(out_b["samples"]), np.asarray(out_s["samples"]), atol=1e-6
     )
-    assert np.isfinite(np.asarray(out["samples"])).all()
+
+    # interval matters: full-interval CFG differs from (0.2, 0.8)
+    out_full = sampler.sample(
+        model, noise, cond, neg, steps=6, cfg_strength=2.0,
+        cfg_interval=(0.0, 1.0),
+    )
+    assert not np.allclose(
+        np.asarray(out_full["samples"]), np.asarray(out_b["samples"])
+    )

@@ -47,42 +47,38 @@ class FlowEulerSampler:
         """CFG velocity. With cfg_batched the cond and neg passes run as ONE
         model call on a 2B batch; the model must accept a doubled leading
         dim (broadcast any closed-over per-batch state, see pipelines).
-        Measured on the v5e SLat flow the batched form was SLOWER (3.94 s vs
-        2.71 s / 12 steps — the 2B windowed-attention sort/pad path costs
-        more than the saved dispatch), so it defaults off; flip per call
-        site after measuring. Outside `cfg_interval` the guided branch is
-        skipped entirely via lax.cond (the interval sampler's
-        cfg_interval=(0.5, 1.0) makes half the steps cost a single call)."""
+
+        Both "optimizations" were MEASURED SLOWER than this plain form on the
+        v5e SLat flow (12 steps, benchmarks/slat_cfg_variants.py):
+        2-call + where-select 2718 ms; skipping the neg pass outside the
+        interval via lax.cond 3104 ms (the conditional costs more than the
+        skipped work — it breaks XLA's scan pipelining); 2B-batched call
+        3949 ms (the doubled windowed-attention sort/pad path costs more
+        than the saved dispatch). Hence: where-select always, cfg_batched
+        off by default."""
         if neg_cond is None or cfg_strength == 0.0:
             return self._inference(model, x_t, t, cond)
 
-        def guided(_):
-            if cfg_batched:
-                x2 = jax.tree.map(
-                    lambda a: jnp.concatenate([a, a], axis=0), x_t
-                )
-                c2 = jax.tree.map(
-                    lambda a, b: jnp.concatenate([a, b], axis=0),
-                    cond, neg_cond,
-                )
-                out = self._inference(model, x2, t, c2)
-                pred = jax.tree.map(lambda a: a[: a.shape[0] // 2], out)
-                neg = jax.tree.map(lambda a: a[a.shape[0] // 2:], out)
-            else:
-                pred = self._inference(model, x_t, t, cond)
-                neg = self._inference(model, x_t, t, neg_cond)
-            return jax.tree.map(
-                lambda p, n: (1 + cfg_strength) * p - cfg_strength * n,
-                pred, neg,
+        if cfg_batched:
+            x2 = jax.tree.map(lambda a: jnp.concatenate([a, a], axis=0), x_t)
+            c2 = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), cond, neg_cond
             )
-
+            out = self._inference(model, x2, t, c2)
+            pred = jax.tree.map(lambda a: a[: a.shape[0] // 2], out)
+            neg = jax.tree.map(lambda a: a[a.shape[0] // 2:], out)
+        else:
+            pred = self._inference(model, x_t, t, cond)
+            neg = self._inference(model, x_t, t, neg_cond)
+        guided = jax.tree.map(
+            lambda p, n: (1 + cfg_strength) * p - cfg_strength * n, pred, neg
+        )
         if cfg_interval is None:
-            return guided(None)
+            return guided
         lo, hi = cfg_interval
         in_interval = jnp.logical_and(t >= lo, t <= hi)
-        return jax.lax.cond(
-            in_interval, guided,
-            lambda _: self._inference(model, x_t, t, cond), None,
+        return jax.tree.map(
+            lambda g, p: jnp.where(in_interval, g, p), guided, pred
         )
 
     def sample(

@@ -53,6 +53,7 @@ def align_gaussian_to_canonical(
     camera_kwargs: Optional[dict] = None,
     coarse_res: int = 128,
     refine: int = 2,
+    coarse_subset: Optional[int] = 65536,
 ) -> Tuple[GaussianSplat, float, float]:
     """Find the azimuth (and alpha-bbox scale) aligning the generated GS to
     the video's canonical frame. Returns (aligned_gs, best_angle_rad, scale).
@@ -94,7 +95,24 @@ def align_gaussian_to_canonical(
         ch = max(coarse_res, 1)
         cw = max(int(round(coarse_res * w / h)), 1)
         tgt_c = jax.image.resize(target_image, (ch, cw, 3), "bilinear")
+        # coarse scoring over a most-opaque subset: per-angle cost is
+        # dominated by rotating + projecting EVERY gaussian (~1M after the
+        # SLat decode), which resolution cannot reduce
+        gs_all, valid_all = gs, valid
+        if (coarse_subset is not None
+                and gs._xyz.shape[0] > coarse_subset):
+            opa = gs.get_opacity[..., 0]
+            if valid is not None:
+                opa = jnp.where(valid, opa, -jnp.inf)
+            _, top = jax.lax.top_k(opa, coarse_subset)
+            gs = gs.replace(
+                _xyz=gs._xyz[top], _features_dc=gs._features_dc[top],
+                _scaling=gs._scaling[top], _rotation=gs._rotation[top],
+                _opacity=gs._opacity[top],
+            )
+            valid = valid[top] if valid is not None else None
         coarse_score, _ = score_at(angles, ch, cw, tgt_c, False)
+        gs, valid = gs_all, valid_all
         c_best = int(jnp.argmin(coarse_score))
         idx = (np.arange(-refine, refine + 1) + c_best) % n_angles
         cand = angles[jnp.asarray(idx)]

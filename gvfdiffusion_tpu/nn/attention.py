@@ -48,6 +48,14 @@ def scaled_dot_product_attention(
     if _ATTN_IMPL == "fused" and mask is None and _on_tpu():
         from ..ops import fused_attention as fa
 
+        # NOTE: auto-sequence-packing tiny self-attentions ([B*N, T=32] ->
+        # [B*N/16, 512] with the kernel's segment_size mask) was tried for
+        # the DiT temporal branch and MEASURED SLOWER end-to-end (9.83 s vs
+        # 8.48 s for the 32-step denoise): the packing reshape lands right
+        # after the [B,T,N,C]->[B*N,T,C] transpose and forces materialized
+        # relayouts that cost more than the small-matmul inefficiency it
+        # removes. The kernel keeps segment_size support (parity-tested) for
+        # callers whose data is already packed.
         if fa.supports(q.shape, k.shape):
             return fa.fused_attention(q, k, v, q.shape[-1] ** -0.5)
     if _ATTN_IMPL == "einsum":

@@ -60,7 +60,7 @@ def _head_block(num_heads: int, head_dim: int) -> int:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
-                 head_dim: int, compute_dtype):
+                 head_dim: int, compute_dtype, segment_size: int = 0):
     # refs: q/o [1, Lq, hb*D]; k/v [1, Lk_pad, hb*D] — heads packed in lanes
     nh = q_ref.shape[2] // head_dim
     for h in range(nh):
@@ -72,6 +72,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [Lq, Lk_pad]
         s = s * (scale * _LOG2E) - _SHIFT
+        if segment_size:
+            # block-diagonal mask: sequence-packed independent segments
+            # (e.g. 16 temporal rows of T=32 packed into one 512 sequence)
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(row // segment_size == col // segment_size,
+                          s, -jnp.inf)
         if kv_len < k.shape[0]:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < kv_len, s, -jnp.inf)
@@ -86,8 +93,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
 def _fused_attention_fwd_impl(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     compute_dtype=jnp.bfloat16, interpret: bool = False,
+    segment_size: int = 0,
 ) -> jnp.ndarray:
-    """q [B, Lq, H, D]; k, v [B, Lk, H, D] -> [B, Lq, H, D]."""
+    """q [B, Lq, H, D]; k, v [B, Lk, H, D] -> [B, Lq, H, D].
+
+    segment_size > 0: queries/keys are sequence-packed independent segments
+    of that length (requires Lq == Lk and both multiples of segment_size);
+    attention is masked block-diagonal."""
     B, Lq, H, D = q.shape
     Lk = k.shape[1]
     lk_pad = _round_up(Lk, 128)
@@ -103,7 +115,7 @@ def _fused_attention_fwd_impl(
     lanes = hb * D
     kernel = functools.partial(
         _attn_kernel, scale=scale, kv_len=Lk, head_dim=D,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, segment_size=segment_size,
     )
     out = pl.pallas_call(
         kernel,
@@ -129,24 +141,30 @@ def _fused_attention_fwd_impl(
     return out.reshape(B, Lq, H, D)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_attention(q, k, v, scale: float, compute_dtype=jnp.bfloat16,
-                    interpret: bool = False):
+                    interpret: bool = False, segment_size: int = 0):
     """Softmax attention, [B, Lq, H, D] layout, fused on TPU via Pallas."""
-    return _fused_attention_fwd_impl(q, k, v, scale, compute_dtype, interpret)
+    return _fused_attention_fwd_impl(q, k, v, scale, compute_dtype, interpret,
+                                     segment_size)
 
 
-def _fwd(q, k, v, scale, compute_dtype, interpret):
-    out = _fused_attention_fwd_impl(q, k, v, scale, compute_dtype, interpret)
+def _fwd(q, k, v, scale, compute_dtype, interpret, segment_size):
+    out = _fused_attention_fwd_impl(q, k, v, scale, compute_dtype, interpret,
+                                    segment_size)
     return out, (q, k, v)
 
 
-def _bwd(scale, compute_dtype, interpret, res, g):
+def _bwd(scale, compute_dtype, interpret, segment_size, res, g):
     # standard attention gradient, XLA einsums in fp32 (training path keeps
     # the pre-kernel numerics; the fwd kernel is the inference win)
     q, k, v = res
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                    preferred_element_type=jnp.float32) * scale
+    if segment_size:
+        row = jnp.arange(s.shape[-2])[:, None]
+        col = jnp.arange(s.shape[-1])[None]
+        s = jnp.where(row // segment_size == col // segment_size, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     dv = jnp.einsum("bhqk,bqhd->bkhd", p.astype(g.dtype), g)
     dp = jnp.einsum("bqhd,bkhd->bhqk", g, v, preferred_element_type=jnp.float32)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from microbench import timeit
 
 
-def build(no_temporal=False):
+def build(no_temporal=False, temporal_layout="transpose"):
     from gvfdiffusion_tpu.diffusion.dpm_solver import (
         DPMSolver, NoiseScheduleVP, model_wrapper)
     from gvfdiffusion_tpu.diffusion.gaussian_diffusion import (
@@ -42,7 +42,8 @@ def build(no_temporal=False):
         resolution=N, in_channels=C, model_channels=512,
         static_cond_channels=14, image_cond_channels=1024, out_channels=C,
         num_blocks=12, num_heads=16, pe_mode="ape", qk_rms_norm=True,
-        no_temporal_attn=no_temporal, dtype=dtype,
+        no_temporal_attn=no_temporal, temporal_layout=temporal_layout,
+        dtype=dtype,
     )
     ks = jax.random.split(jax.random.PRNGKey(0), 6)
     x = jax.random.normal(ks[0], (B, T, N, C))
@@ -108,6 +109,10 @@ def main():
     sample_nt, _, noise2, params_nt, cond2 = build(no_temporal=True)
     tn = timeit(lambda: sample_nt(noise2, params_nt, cond2), iters=2, warmup=1)
     print(f"  no-temporal     {tn*1e3:8.0f} ms ({tn/32*1e3:.1f} ms/step)")
+
+    sample_te, *_ = build(temporal_layout="einsum")
+    te = timeit(lambda: sample_te(noise, params, cond), iters=2, warmup=1)
+    print(f"  temporal-einsum {te*1e3:8.0f} ms ({te/32*1e3:.1f} ms/step)")
 
 
 if __name__ == "__main__":

@@ -156,14 +156,41 @@ class MultiHeadAttention(nn.Module):
         indices: Optional[jnp.ndarray] = None,
         context_kv=None,
         kv_only: bool = False,
+        temporal_4d: bool = False,
     ) -> jnp.ndarray:
         """Cross-attention KV caching: conditioning tokens are constant across
         sampler steps, so their K/V projections are loop-invariant. Call with
         kv_only=True (x ignored) to get the (k, v) pair once; pass it back via
         context_kv inside the sampling loop to skip the projections.
+
+        temporal_4d: x is [B, T, N, C] and attention runs over axis 1 (T)
+        with (B, N, heads) as batch dims — the transpose-free layout for the
+        DiT temporal branch (same parameter tree as the standard self path,
+        so the two layouts are checkpoint-interchangeable).
         """
         assert self.channels % self.num_heads == 0
         head_dim = self.channels // self.num_heads
+
+        if temporal_4d:
+            assert self.attn_type == "self" and not self.use_rope
+            B, T, N, _ = x.shape
+            qkv = nn.Dense(
+                self.channels * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                name="to_qkv",
+            )(x).reshape(B, T, N, 3, self.num_heads, head_dim)
+            q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+            if self.qk_rms_norm:
+                q = MultiHeadRMSNorm(head_dim, self.num_heads, name="q_rms_norm")(q)
+                k = MultiHeadRMSNorm(head_dim, self.num_heads, name="k_rms_norm")(k)
+            s = jnp.einsum(
+                "btnhd,bsnhd->bnhts", q, k,
+                preferred_element_type=jnp.float32,
+            ) * (head_dim ** -0.5)
+            w = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+            o = jnp.einsum("bnhts,bsnhd->btnhd", w, v)
+            return nn.Dense(self.channels, dtype=self.dtype, name="to_out")(
+                o.reshape(B, T, N, self.channels)
+            )
 
         if kv_only:
             assert self.attn_type == "cross" and context is not None

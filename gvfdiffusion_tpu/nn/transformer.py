@@ -58,6 +58,9 @@ class ModulatedTransformerCrossBlock(nn.Module):
     qkv_bias: bool = True
     share_mod: bool = False
     no_temporal_attn: bool = False
+    # "transpose": [B,T,N,C]->[B*N,T,C] relayout + standard attention;
+    # "einsum": transpose-free batched einsum over axis T (same params)
+    temporal_layout: str = "transpose"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -125,13 +128,16 @@ class ModulatedTransformerCrossBlock(nn.Module):
         if not self.no_temporal_attn:
             h = _ln("norm2")(x)
             h = modulate(h, sh_t, sc_t)
-            h = h.transpose(0, 2, 1, 3).reshape(B * N, T, C)
-            h = MultiHeadAttention(
+            attn = MultiHeadAttention(
                 C, self.num_heads, attn_type="self", qkv_bias=self.qkv_bias,
                 use_rope=self.use_rope, qk_rms_norm=self.qk_rms_norm,
                 dtype=self.dtype, name="temporal_self_attn",
-            )(h)
-            h = h.reshape(B, N, T, C).transpose(0, 2, 1, 3)
+            )
+            if self.temporal_layout == "einsum" and not self.use_rope:
+                h = attn(h, temporal_4d=True)
+            else:
+                h = attn(h.transpose(0, 2, 1, 3).reshape(B * N, T, C))
+                h = h.reshape(B, N, T, C).transpose(0, 2, 1, 3)
             x = x + h * g_t[:, None, None, :]
 
         # image cross attention (un-gated, affine pre-norm — reference :263-266)

@@ -138,3 +138,31 @@ def test_pe_modes(pe_mode):
     params = model.init(jax.random.PRNGKey(1), **inputs)
     out = model.apply(params, **inputs)
     assert out.shape == (2, 3, 8, 4)
+
+
+def test_temporal_einsum_layout_matches_transpose():
+    """The transpose-free temporal attention (temporal_layout='einsum') must
+    be numerically identical to the relayout path with the SAME params."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gvfdiffusion_tpu.models.dit import DiT
+
+    kw = dict(resolution=8, in_channels=4, model_channels=32,
+              static_cond_channels=14, image_cond_channels=16, out_channels=4,
+              num_blocks=2, num_heads=4, pe_mode="ape", qk_rms_norm=True)
+    a = DiT(**kw)
+    b = DiT(temporal_layout="einsum", **kw)
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    B, T, N, C = 2, 3, 8, 4
+    x = jax.random.normal(ks[0], (B, T, N, C))
+    ci = jax.random.normal(ks[1], (B, T, 5, 16))
+    sl = jax.random.normal(ks[2], (B, 8, 14))
+    pos = jax.random.uniform(ks[3], (B, N, 3))
+    t = jnp.asarray([10.0, 20.0])
+    params = a.init(ks[4], x, t, ci, sl, pos)
+    out_a = a.apply(params, x, t, ci, sl, pos)
+    out_b = b.apply(params, x, t, ci, sl, pos)  # same params, other layout
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=2e-5, rtol=2e-5)

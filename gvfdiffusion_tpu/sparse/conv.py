@@ -49,13 +49,21 @@ class SparseConv3d(nn.Module):
     def __call__(self, x: SparseVoxels) -> SparseVoxels:
         k = self.kernel_size
         c_in = x.channels
+        n_off = k * k * k
         offsets = [
             (i - k // 2, j - k // 2, l - k // 2)
             for i in range(k) for j in range(k) for l in range(k)
         ]
         w = self.param(
-            "kernel", self.kernel_init, (len(offsets), c_in, self.features)
+            "kernel", self.kernel_init, (n_off, c_in, self.features)
         ).astype(self.dtype)
+
+        # NOTE: batching the K^3 gathers into one [B, L, K^3, C] tensor fed
+        # to a single [L, K^3*C] x [K^3*C, F] einsum was MEASURED SLOWER
+        # (SLat io-blocks 85 -> 132 ms/call): the big gather materializes a
+        # 27x-features tensor to HBM that the loop form never does — XLA
+        # fuses each per-offset gather straight into its matmul. Keep the
+        # loop.
         grid = x.index_grid()  # one dense index build for all offsets
         out = jnp.zeros(x.feats.shape[:2] + (self.features,), jnp.float32)
         for oi, off in enumerate(offsets):
@@ -72,8 +80,8 @@ class SparseConv3d(nn.Module):
             )
         out = out.astype(self.dtype)
         if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros, (self.features,))
-            out = out + b.astype(self.dtype)
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + bias.astype(self.dtype)
         return x.replace_feats(out)
 
 

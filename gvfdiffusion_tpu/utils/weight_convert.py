@@ -283,3 +283,35 @@ def convert_dinov2(state_dict: Dict[str, Any], depth: int = 24) -> Dict:
         _linear(sd, f"{b}.mlp.fc2", p, fp + ["mlp", "fc2"])
     _layernorm(sd, "norm", p, ["norm"])
     return {"params": p}
+
+
+def convert_clip_visual(state_dict: Dict[str, Any], depth: int = 12) -> Dict:
+    """OpenAI CLIP `visual.*` torch state dict -> flax params for
+    models/clip.CLIPImageEncoder. The `visual.` prefix is optional.
+
+    nn.MultiheadAttention's packed in_proj stacks [q; k; v] along dim 0 and
+    splits heads as [H, hd] — both match the flax to_qkv reshape, so the
+    transpose alone is exact."""
+    sd = {}
+    for k, v in state_dict.items():
+        sd[k[7:] if k.startswith("visual.") else k] = np.asarray(v)
+    p: Dict = {}
+    set_in(p, ["conv1", "kernel"], _conv2d(sd["conv1.weight"]))
+    p["class_embedding"] = sd["class_embedding"]
+    p["positional_embedding"] = sd["positional_embedding"]
+    _layernorm(sd, "ln_pre", p, ["ln_pre"])
+    for i in range(depth):
+        b = f"transformer.resblocks.{i}"
+        fp = [f"resblocks_{i}"]
+        _layernorm(sd, f"{b}.ln_1", p, fp + ["ln_1"])
+        set_in(p, fp + ["attn", "to_qkv", "kernel"],
+               _t(sd[f"{b}.attn.in_proj_weight"]))
+        set_in(p, fp + ["attn", "to_qkv", "bias"],
+               np.asarray(sd[f"{b}.attn.in_proj_bias"]))
+        _linear(sd, f"{b}.attn.out_proj", p, fp + ["attn", "to_out"])
+        _layernorm(sd, f"{b}.ln_2", p, fp + ["ln_2"])
+        _linear(sd, f"{b}.mlp.c_fc", p, fp + ["c_fc"])
+        _linear(sd, f"{b}.mlp.c_proj", p, fp + ["c_proj"])
+    _layernorm(sd, "ln_post", p, ["ln_post"])
+    p["proj"] = sd["proj"]
+    return {"params": p}

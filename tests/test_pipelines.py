@@ -268,3 +268,39 @@ def test_alignment_coarse_to_fine_matches_single_stage():
     step = 2 * np.pi / 16
     diff = abs(((a_two - true_angle) + np.pi) % (2 * np.pi) - np.pi)
     assert diff <= step + 1e-6
+
+
+def test_clip_score_fn_plugs_into_alignment():
+    """CLIPImageEncoder's score hook drives align_gaussian_to_canonical's
+    clip_weight term (reference inference_utils.py:48,105-130)."""
+    from gvfdiffusion_tpu.models.clip import CLIPImageEncoder, make_clip_score_fn
+    from gvfdiffusion_tpu.render.renderer import GaussianRenderer, RenderOptions
+    from gvfdiffusion_tpu.representations.gaussians import from_activated
+    from gvfdiffusion_tpu.utils.inference_utils import align_gaussian_to_canonical
+
+    clip = CLIPImageEncoder(image_size=32, patch_size=8, width=16, depth=1,
+                            heads=2, embed_dim=8)
+    img0 = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    cparams = clip.init(jax.random.PRNGKey(0), jnp.asarray(img0)[None])
+
+    score = make_clip_score_fn(clip, cparams, img0)
+    sims = score(np.stack([img0, 1.0 - img0]))
+    assert sims.shape == (2,)
+    assert sims[0] > 0.999  # target scores itself perfectly
+
+    act = np.zeros((2, 14), np.float32)
+    act[:, 0] = [0.15, 0.25]
+    act[:, 3:6] = 0.04
+    act[:, 6] = 1.0
+    act[:, 13] = 0.9
+    gs = from_activated(jnp.asarray(act))
+    renderer = GaussianRenderer(RenderOptions(
+        near=0.1, far=10.0, bg_color=(1.0, 1.0, 1.0), use_mip=False,
+        backend="binned", max_per_tile=8,
+    ))
+    aligned, angle, scale = align_gaussian_to_canonical(
+        gs, jnp.asarray(img0), n_angles=4, renderer=renderer,
+        camera_kwargs=dict(radius=1.5, fov_deg=45.0),
+        clip_score_fn=score, clip_weight=0.2,
+    )
+    assert np.isfinite(np.asarray(aligned.get_xyz)).all()

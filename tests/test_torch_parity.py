@@ -752,3 +752,69 @@ def test_dinov2_converter_parity():
     )
     prenorm, _ = model.apply(params, jnp.asarray(_np(x).transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(prenorm), expect, atol=2e-5)
+
+
+def test_clip_visual_converter_parity():
+    """convert_clip_visual vs a torch replica of the CLIP visual tower
+    (nn.MultiheadAttention packed qkv, QuickGELU, pre-LN). Same weights ->
+    same embeddings."""
+    import torch.nn as tnn
+
+    width, heads, depth, patch, img, embed = 32, 4, 2, 8, 16, 16
+
+    class TBlock(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ln_1 = tnn.LayerNorm(width, eps=1e-5)
+            self.attn = tnn.MultiheadAttention(width, heads)
+            self.ln_2 = tnn.LayerNorm(width, eps=1e-5)
+            self.mlp = tnn.Sequential()
+            self.mlp.add_module("c_fc", tnn.Linear(width, width * 4))
+            self.mlp.add_module("c_proj", tnn.Linear(width * 4, width))
+
+        def forward(self, x):  # [L, B, C]
+            h = self.ln_1(x)
+            x = x + self.attn(h, h, h, need_weights=False)[0]
+            h = self.mlp.c_fc(self.ln_2(x))
+            h = h * torch.sigmoid(1.702 * h)  # QuickGELU
+            return x + self.mlp.c_proj(h)
+
+    class TVisual(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            n = (img // patch) ** 2
+            self.conv1 = tnn.Conv2d(3, width, patch, stride=patch, bias=False)
+            self.class_embedding = tnn.Parameter(torch.zeros(width))
+            self.positional_embedding = tnn.Parameter(torch.zeros(1 + n, width))
+            self.ln_pre = tnn.LayerNorm(width, eps=1e-5)
+            self.transformer = tnn.Module()
+            self.transformer.resblocks = tnn.ModuleList(
+                [TBlock() for _ in range(depth)])
+            self.ln_post = tnn.LayerNorm(width, eps=1e-5)
+            self.proj = tnn.Parameter(torch.zeros(width, embed))
+
+        def forward(self, x):  # [B, 3, H, W] CLIP-normalized
+            h = self.conv1(x).flatten(2).transpose(1, 2)  # [B, N, C]
+            cls = self.class_embedding[None, None].expand(h.shape[0], 1, -1)
+            h = torch.cat([cls, h], 1) + self.positional_embedding[None]
+            h = self.ln_pre(h).transpose(0, 1)  # [L, B, C]
+            for blk in self.transformer.resblocks:
+                h = blk(h)
+            h = self.ln_post(h.transpose(0, 1)[:, 0])
+            return h @ self.proj
+
+    tm = _randomize(TVisual(), seed=7)
+    x01 = torch.rand(2, 3, img, img, generator=torch.Generator().manual_seed(4))
+    from gvfdiffusion_tpu.models.clip import CLIP_MEAN, CLIP_STD, CLIPImageEncoder
+
+    mean = torch.tensor(CLIP_MEAN).view(1, 3, 1, 1)
+    std = torch.tensor(CLIP_STD).view(1, 3, 1, 1)
+    with torch.no_grad():
+        expect = _np(tm((x01 - mean) / std))
+
+    model = CLIPImageEncoder(image_size=img, patch_size=patch, width=width,
+                             depth=depth, heads=heads, embed_dim=embed)
+    params = wc.convert_clip_visual(
+        {k: _np(v) for k, v in tm.state_dict().items()}, depth=depth)
+    got = model.apply(params, jnp.asarray(_np(x01).transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), expect, atol=3e-5)

@@ -258,7 +258,9 @@ def bench_dit_step():
     from gvfdiffusion_tpu.train.train_state import create_train_state, make_optimizer
 
     print("\n== DiT train step (full size, batch 2) ==")
-    model = DiT()
+    # full remat: without it the fwd+bwd graph exceeds single-chip HBM and
+    # the remote compiler crashes (the elastic controller would pick this)
+    model = DiT(remat_blocks=12)
     B, T, N, L = 2, 24, 512, 1370
     ks = jax.random.split(jax.random.PRNGKey(0), 6)
     batch = dict(

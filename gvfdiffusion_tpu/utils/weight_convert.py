@@ -17,7 +17,7 @@ is just another table entry.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 
@@ -314,4 +314,113 @@ def convert_clip_visual(state_dict: Dict[str, Any], depth: int = 12) -> Dict:
         _linear(sd, f"{b}.mlp.c_proj", p, fp + ["c_proj"])
     _layernorm(sd, "ln_post", p, ["ln_post"])
     p["proj"] = sd["proj"]
+    return {"params": p}
+
+
+def _mcb_block(sd, b, p, fp, qk_rms: bool, qk_rms_cross: bool,
+               share_mod: bool):
+    """trellis/modules/transformer/modulated.py ModulatedCrossBlock ->
+    nn/transformer.ModulatedCrossBlock (names align 1:1)."""
+    if not share_mod:
+        _linear(sd, f"{b}.adaLN_modulation.1", p, fp + ["adaLN_modulation"])
+    _layernorm(sd, f"{b}.norm2", p, fp + ["norm2"])
+    _mha(sd, f"{b}.self_attn", p, fp + ["self_attn"], True, qk_rms)
+    _mha(sd, f"{b}.cross_attn", p, fp + ["cross_attn"], False, qk_rms_cross)
+    _linear(sd, f"{b}.mlp.mlp.0", p, fp + ["mlp", "mlp_0"])
+    _linear(sd, f"{b}.mlp.mlp.2", p, fp + ["mlp", "mlp_2"])
+
+
+def convert_ss_flow(state_dict: Dict[str, Any], num_blocks: int = 24,
+                    in_channels: int = 8, out_channels: int = 8,
+                    patch_size: int = 2, share_mod: bool = False,
+                    qk_rms_norm: bool = False,
+                    qk_rms_norm_cross: bool = False) -> Dict:
+    """trellis/models/sparse_structure_flow.py SparseStructureFlowModel ->
+    flax params for models/trellis/ss_flow.SparseStructureFlowModel.
+
+    Patchify channel orders differ: torch packs token features as
+    [c * p^3 + offset] (spatial.py:28-30 keeps C major), ours as
+    [offset * C + c] (patchify_3d keeps offsets major) — the input/output
+    projection matrices are permuted accordingly, everything else maps 1:1.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    p: Dict = {}
+    p3 = patch_size**3
+
+    # input_layer: torch weight [C_model, C_in*p3] col (c, off) ->
+    # our kernel row (off, c)
+    w_in = _t(sd["input_layer.weight"])  # [C_in*p3, C_model]
+    perm_in = np.asarray(
+        [c * p3 + off for off in range(p3) for c in range(in_channels)]
+    )
+    set_in(p, ["input_layer", "kernel"], w_in[perm_in])
+    set_in(p, ["input_layer", "bias"], np.asarray(sd["input_layer.bias"]))
+
+    _linear(sd, "t_embedder.mlp.0", p, ["t_embedder", "mlp_0"])
+    _linear(sd, "t_embedder.mlp.2", p, ["t_embedder", "mlp_2"])
+    if share_mod:
+        _linear(sd, "adaLN_modulation.1", p, ["adaLN_modulation"])
+
+    for i in range(num_blocks):
+        _mcb_block(sd, f"blocks.{i}", p, [f"blocks_{i}"], qk_rms_norm,
+                   qk_rms_norm_cross, share_mod)
+
+    # out_layer: torch weight rows (c_out, off) -> our kernel cols (off, c)
+    w_out = _t(sd["out_layer.weight"])  # [C_model, C_out*p3]
+    perm_out = np.asarray(
+        [c * p3 + off for off in range(p3) for c in range(out_channels)]
+    )
+    set_in(p, ["out_layer", "kernel"], w_out[:, perm_out])
+    set_in(p, ["out_layer", "bias"], np.asarray(sd["out_layer.bias"])[perm_out])
+    return {"params": p}
+
+
+def convert_ss_decoder(state_dict: Dict[str, Any],
+                       channels=(512, 128, 32), num_res_blocks: int = 2,
+                       num_res_blocks_middle: int = 2,
+                       out_channels_up: Optional[Dict[int, int]] = None) -> Dict:
+    """trellis SparseStructureDecoder (torch, sparse_structure_vae.py:210) ->
+    flax models/trellis/ss_vae.SparseStructureDecoder.
+
+    Upsample convs: torch pixel_shuffle_3d keeps C major over the 8 offsets
+    (spatial.py:4-13), ours keeps offsets major — output channels permuted.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    p: Dict = {}
+
+    def conv(tname, fpath, out_perm=None):
+        w = _conv3d(sd[f"{tname}.weight"])
+        b = np.asarray(sd[f"{tname}.bias"])
+        if out_perm is not None:
+            w = w[..., out_perm]
+            b = b[out_perm]
+        set_in(p, fpath + ["kernel"], w)
+        set_in(p, fpath + ["bias"], b)
+
+    def res(tname, fpath):
+        _layernorm(sd, f"{tname}.norm1", p, fpath + ["norm1"])
+        _layernorm(sd, f"{tname}.norm2", p, fpath + ["norm2"])
+        conv(f"{tname}.conv1", fpath + ["conv1"])
+        conv(f"{tname}.conv2", fpath + ["conv2"])
+        if f"{tname}.skip_connection.weight" in sd:
+            conv(f"{tname}.skip_connection", fpath + ["skip_connection"])
+
+    conv("input_layer", ["input_layer"])
+    for j in range(num_res_blocks_middle):
+        res(f"middle_block.{j}", [f"middle_{j}"])
+    bi = 0
+    for i, ch in enumerate(channels):
+        for j in range(num_res_blocks):
+            res(f"blocks.{bi}", [f"block_{i}_{j}"])
+            bi += 1
+        if i < len(channels) - 1:
+            c_out = channels[i + 1]
+            # torch out channel (c, f1, f2, f3) -> ours (f1, f2, f3, c)
+            perm = np.asarray(
+                [c * 8 + off for off in range(8) for c in range(c_out)]
+            )
+            conv(f"blocks.{bi}.conv", [f"up_{i}", "conv"], out_perm=perm)
+            bi += 1
+    _layernorm(sd, "out_layer.0", p, ["out_norm"])
+    conv("out_layer.2", ["out_layer"])
     return {"params": p}

@@ -316,3 +316,24 @@ def load_ref(submodule: str):
     import importlib
 
     return importlib.import_module(submodule)
+
+
+def load_trellis(submodule: str):
+    """Import e.g. 'trellis.models.sparse_structure_flow' with stub package
+    skeletons so relative imports resolve WITHOUT executing trellis/__init__
+    or trellis/models/__init__ (those pull in pipelines/spconv)."""
+    import importlib
+    import os
+    import types
+
+    os.environ.setdefault("ATTN_BACKEND", "sdpa")
+    install_stubs()
+    for name, path in [
+        ("trellis", os.path.join(REF_ROOT, "trellis")),
+        ("trellis.models", os.path.join(REF_ROOT, "trellis", "models")),
+    ]:
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__path__ = [path]
+            sys.modules[name] = m
+    return importlib.import_module(submodule)

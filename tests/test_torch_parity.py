@@ -818,3 +818,70 @@ def test_clip_visual_converter_parity():
         {k: _np(v) for k, v in tm.state_dict().items()}, depth=depth)
     got = model.apply(params, jnp.asarray(_np(x01).transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(got), expect, atol=3e-5)
+
+
+def test_trellis_ss_flow_parity():
+    """TRELLIS SparseStructureFlowModel (torch, loaded from /root/reference
+    with package stubs) vs our flax ss_flow: same weights -> same velocity
+    field, including the patchify channel-order permutation."""
+    ssf = ref_loader.load_trellis("trellis.models.sparse_structure_flow")
+
+    kw = dict(resolution=8, in_channels=4, model_channels=64,
+              cond_channels=32, out_channels=4, num_blocks=2, num_heads=4,
+              patch_size=2, qk_rms_norm=True)
+    tm = _randomize(ssf.SparseStructureFlowModel(**kw), seed=5)
+    x = torch.randn(2, 4, 8, 8, 8, generator=torch.Generator().manual_seed(1))
+    t = torch.tensor([100.0, 500.0])
+    cond = torch.randn(2, 6, 32, generator=torch.Generator().manual_seed(2))
+    with torch.no_grad():
+        expect = _np(tm(x, t, cond))  # [B, C, R, R, R]
+
+    from gvfdiffusion_tpu.models.trellis.ss_flow import SparseStructureFlowModel
+
+    model = SparseStructureFlowModel(**kw)
+    params = wc.convert_ss_flow(
+        {k: _np(v) for k, v in tm.state_dict().items()},
+        num_blocks=2, in_channels=4, out_channels=4, patch_size=2,
+        qk_rms_norm=True,
+    )
+    got = model.apply(
+        params, jnp.asarray(_np(x).transpose(0, 2, 3, 4, 1)),
+        jnp.asarray(_np(t)), jnp.asarray(_np(cond)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 4, 1, 2, 3), expect, atol=3e-5
+    )
+
+
+def test_trellis_ss_decoder_parity():
+    """TRELLIS SparseStructureDecoder (torch) vs flax: same weights -> same
+    occupancy logits, incl. the pixel-shuffle channel permutation."""
+    ssv = ref_loader.load_trellis("trellis.models.sparse_structure_vae")
+
+    channels = (16, 8)
+    tm = _randomize(
+        ssv.SparseStructureDecoder(
+            out_channels=1, latent_channels=4, num_res_blocks=1,
+            channels=list(channels), num_res_blocks_middle=1,
+            norm_type="layer",
+        ),
+        seed=6,
+    )
+    z = torch.randn(2, 4, 4, 4, 4, generator=torch.Generator().manual_seed(3))
+    with torch.no_grad():
+        expect = _np(tm(z))
+
+    from gvfdiffusion_tpu.models.trellis.ss_vae import SparseStructureDecoder
+
+    model = SparseStructureDecoder(
+        out_channels=1, latent_channels=4, num_res_blocks=1,
+        channels=channels, num_res_blocks_middle=1, norm_type="layer",
+    )
+    params = wc.convert_ss_decoder(
+        {k: _np(v) for k, v in tm.state_dict().items()},
+        channels=channels, num_res_blocks=1, num_res_blocks_middle=1,
+    )
+    got = model.apply(params, jnp.asarray(_np(z).transpose(0, 2, 3, 4, 1)))
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 4, 1, 2, 3), expect, atol=3e-5
+    )

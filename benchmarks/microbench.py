@@ -131,8 +131,8 @@ def _random_scene(rng, n):
 
 def _opaque_scene(rng, n):
     """Near-opaque spherical shell — tiles saturate within a few gaussians,
-    the regime of a trained object (and of the Pallas kernel's transmittance
-    early-exit)."""
+    the regime of a trained object (and of the multiround blend's
+    transmittance early-exit)."""
     d = rng.standard_normal((n, 3))
     d /= np.linalg.norm(d, axis=-1, keepdims=True) + 1e-9
     xyz = d * rng.uniform(0.28, 0.32, (n, 1))
@@ -214,6 +214,46 @@ def bench_topk_error():
         print(f"  K={k:>5}: PSNR vs K=4096 = {psnr:.1f} dB")
 
 
+def bench_octree():
+    import jax
+    import jax.numpy as jnp
+
+    from gvfdiffusion_tpu.render.octree_renderer import (OctreeRenderer,
+                                                         OctreeRenderOptions)
+    from gvfdiffusion_tpu.representations.camera import orbit_camera
+    from gvfdiffusion_tpu.representations.octree import (Strivec, VoxelOctree,
+                                                         from_sparse_voxels)
+    from gvfdiffusion_tpu.sparse.tensor import SparseVoxels
+
+    print("\n== octree renderers 256^2 (ms/frame, 16k leaves @64^3) ==")
+    l, res = 16384, 64
+    rng = np.random.default_rng(0)
+    lin = rng.choice(res**3, l, replace=False)
+    coords = np.stack([lin // res**2, (lin // res) % res, lin % res], -1)
+    sv = SparseVoxels(
+        feats=jnp.zeros((1, l, 1)), coords=jnp.asarray(coords[None], jnp.int32),
+        valid=jnp.ones((1, l), bool), resolution=res,
+    )
+    tree = from_sparse_voxels(sv)
+    cam = orbit_camera(30.0, 20.0, radius=1.6, height=256, width=256,
+                       target=(0.5, 0.5, 0.5))
+    r = OctreeRenderer(OctreeRenderOptions(num_steps=128))
+
+    vox = VoxelOctree(tree=tree, density=jnp.full((l,), 4.0),
+                      colors_dc=jnp.zeros((l, 3)))
+    f = jax.jit(lambda: r.render(vox, cam)["color"])
+    print(f"  voxel   {timeit(f, iters=3)*1e3:8.1f} ms")
+
+    tv = Strivec(
+        tree=tree,
+        trivec=jnp.asarray(rng.uniform(0.5, 1.5, (l, 8, 3, 8)), jnp.float32),
+        density=jnp.full((l, 8), 1.0),
+        colors=jnp.asarray(rng.uniform(0, 1, (l, 8, 3)), jnp.float32),
+    )
+    f = jax.jit(lambda: r.render(tv, cam)["color"])
+    print(f"  trivec  {timeit(f, iters=3)*1e3:8.1f} ms")
+
+
 def bench_static_vae():
     """BASELINE config #3: static VAE encode->decode forward latency."""
     import jax
@@ -286,7 +326,7 @@ if __name__ == "__main__":
     p.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--only", default=None,
                    choices=[None, "curves", "attention", "rasterizer",
-                            "topk_error", "static_vae", "dit"])
+                            "topk_error", "octree", "static_vae", "dit"])
     args = p.parse_args()
     if args.device == "cpu":
         import jax
@@ -303,6 +343,8 @@ if __name__ == "__main__":
         bench_rasterizer()
     if args.only == "topk_error":
         bench_topk_error()
+    if args.only == "octree":
+        bench_octree()
     if args.only in (None, "static_vae"):
         bench_static_vae()
     if args.only in (None, "dit"):

@@ -184,10 +184,13 @@ class OctreeRenderer:
             cam = camera.replace(height=camera.height * o.ssaa,
                                  width=camera.width * o.ssaa)
         want_pd = isinstance(oct, Strivec)
+        # rank payloads gather [P, rank, 3, dim] per sample — bound the
+        # vectorized march's per-chunk sample count accordingly
+        chunk = 1024 if isinstance(oct, (Strivec, DecoupolyOctree)) else 4096
         out = render_volume(
             field, cam, num_steps=o.num_steps, t_near=o.near, t_far=o.far,
             bg_color=o.bg_color, field_takes_dirs=True,
-            track_median_depth=want_pd,
+            track_median_depth=want_pd, step_chunk=chunk,
         )
         if o.ssaa > 1:
             s = o.ssaa

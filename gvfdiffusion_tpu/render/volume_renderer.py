@@ -61,25 +61,38 @@ def render_volume(
     bg = jnp.asarray(bg_color, jnp.float32)
 
     def ray_chunk(args):
+        # All samples of the chunk evaluated in ONE field call + cumprod
+        # compositing. The earlier scan-over-steps form serialized num_steps
+        # tiny evaluations and measured 3.2-9.9 s/frame at 256^2 on the chip;
+        # this form is the standard parallel NeRF quadrature (identical math).
         o, d = args  # [C, 3] each
-
-        def step(carry, t):
-            trans, rgb, depth_acc, med = carry
-            pts = o + t * d
-            sigma, color = field(pts, d) if field_takes_dirs else field(pts)
-            alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dt)
-            wgt = trans * alpha
-            rgb = rgb + wgt[:, None] * color
-            depth_acc = depth_acc + wgt * t
-            new_trans = trans * (1.0 - alpha)
-            med = jnp.where((trans >= 0.5) & (new_trans < 0.5), t, med)
-            return (new_trans, rgb, depth_acc, med), None
-
         n = o.shape[0]
-        init = (jnp.ones(n), jnp.zeros((n, 3)), jnp.zeros(n), jnp.zeros(n))
-        (trans, rgb, depth_acc, med), _ = jax.lax.scan(step, init, ts)
+        pts = o[:, None] + ts[None, :, None] * d[:, None]      # [C, S, 3]
+        flat = pts.reshape(-1, 3)
+        if field_takes_dirs:
+            drep = jnp.broadcast_to(d[:, None], pts.shape).reshape(-1, 3)
+            sigma, color = field(flat, drep)
+        else:
+            sigma, color = field(flat)
+        s = num_steps
+        sigma = sigma.reshape(n, s)
+        color = color.reshape(n, s, 3)
+        alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dt)
+        keep = 1.0 - alpha
+        trans_before = jnp.concatenate(
+            [jnp.ones((n, 1)), jnp.cumprod(keep, axis=1)[:, :-1]], axis=1
+        )
+        wgt = trans_before * alpha                              # [C, S]
+        rgb = jnp.einsum("cs,csk->ck", wgt, color)
+        depth_acc = wgt @ ts
+        trans = trans_before[:, -1] * keep[:, -1]
         acc = 1.0 - trans
         rgb = rgb + trans[:, None] * bg
+        # first step where transmittance crosses 0.5 (percent_depth)
+        trans_after = trans_before * keep
+        crossed = trans_after < 0.5
+        any_cross = jnp.any(crossed, axis=1)
+        med = jnp.where(any_cross, ts[jnp.argmax(crossed, axis=1)], 0.0)
         return rgb, depth_acc, acc, med
 
     p = origins.shape[0]

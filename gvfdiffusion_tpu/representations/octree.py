@@ -31,6 +31,11 @@ class DfsOctree:
     features: jnp.ndarray   # [N, C]
     valid: jnp.ndarray      # [N] bool
     max_depth: int = flax.struct.field(pytree_node=False, default=6)
+    # static lower bound on any leaf's depth: lets leaf_index_grid skip the
+    # shallow levels whose box-fill would materialize [N, span^3, 3] monsters
+    # (at depth 1 of a 64^3 tree that is 6.4 GB — measured as seconds of
+    # render time and OOMs). None = no bound (full loop).
+    min_depth: Optional[int] = flax.struct.field(pytree_node=False, default=None)
 
     @property
     def capacity(self) -> int:
@@ -54,6 +59,7 @@ def from_sparse_voxels(sv, features: Optional[jnp.ndarray] = None) -> DfsOctree:
         features=feats,
         valid=sv.valid[0],
         max_depth=depth,
+        min_depth=depth,  # uniform: the index grid needs ONE depth pass
     )
 
 
@@ -77,6 +83,7 @@ def subdivide(tree: DfsOctree, mask: jnp.ndarray) -> DfsOctree:
     return DfsOctree(
         positions=pos, depths=depths, features=feats, valid=valid,
         max_depth=tree.max_depth + 1,
+        min_depth=tree.min_depth,  # unsplit leaves keep their depth
     )
 
 
@@ -116,7 +123,8 @@ def leaf_index_grid(tree: DfsOctree) -> jnp.ndarray:
     grid = jnp.full((r * r * r,), -1, jnp.int32)
     base = jnp.clip((tree.positions * r).astype(jnp.int32), 0, r - 1)
     ids = jnp.arange(n, dtype=jnp.int32)
-    for depth in range(tree.max_depth, 0, -1):
+    lo = tree.min_depth if tree.min_depth is not None else 1
+    for depth in range(tree.max_depth, lo - 1, -1):
         span = 2 ** (tree.max_depth - depth)
         sel = tree.valid & (tree.depths == depth)
         anchor = (base // span) * span
@@ -140,7 +148,10 @@ def lookup_leaf(grid: jnp.ndarray, points: jnp.ndarray):
     scaled = points * r
     cell = jnp.clip(jnp.floor(scaled).astype(jnp.int32), 0, r - 1)
     inside = jnp.all((points >= 0.0) & (points < 1.0), axis=-1)
-    leaf = grid[cell[:, 0], cell[:, 1], cell[:, 2]]
+    # flat linear gather: multi-dimensional advanced indexing lowers to a
+    # much slower multi-index gather on TPU
+    lin = (cell[:, 0] * r + cell[:, 1]) * r + cell[:, 2]
+    leaf = grid.reshape(-1)[lin]
     leaf = jnp.where(inside, leaf, -1)
     rel = jnp.clip(scaled - cell, 0.0, 1.0)
     return leaf, rel

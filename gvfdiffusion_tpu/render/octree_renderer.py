@@ -27,7 +27,7 @@ from ..ops.sh import eval_sh, rgb_from_sh_dc
 from ..representations.camera import Camera
 from ..representations.octree import (DecoupolyOctree, GaussianOctree,
                                       Strivec, VoxelOctree, leaf_index_grid,
-                                      lookup_leaf, sample_trivec)
+                                      lookup_leaf, sample_trivec_taps)
 from .volume_renderer import render_volume
 
 OctreePayload = Union[VoxelOctree, GaussianOctree, Strivec, DecoupolyOctree]
@@ -109,7 +109,7 @@ def make_field(
             leaf, rel = lookup_leaf(grid, points)
             hit = leaf >= 0
             safe = jnp.maximum(leaf, 0)
-            prod = sample_trivec(tv[safe], rel)        # [P, rank]
+            prod = sample_trivec_taps(tv, safe, rel)   # [P, rank]
             contrib = dn[safe] * prod                   # identity activation
             sigma = jax.nn.relu(jnp.sum(contrib, -1) + oct.density_shift) * r
             sigma = jnp.where(hit, sigma, 0.0)

@@ -110,6 +110,31 @@ def sample_trivec(tv: jnp.ndarray, rel: jnp.ndarray) -> jnp.ndarray:
     return v[..., 0] * v[..., 1] * v[..., 2]
 
 
+def sample_trivec_taps(tv: jnp.ndarray, leaf: jnp.ndarray,
+                       rel: jnp.ndarray) -> jnp.ndarray:
+    """sample_trivec evaluated by gathering ONLY the two interpolation taps
+    per axis straight from the [N, rank, 3, dim] table (dim/2 x less gather
+    traffic than fetching whole per-leaf tensors — the trivec renderer's
+    dominant cost at millions of samples). leaf [P] int32 (>=0), rel [P, 3]
+    in [0,1] -> per-rank separable products [P, rank]."""
+    n, rank, _, dim = tv.shape
+    flat = tv.reshape(-1)
+    pos = jnp.clip(rel, 0.0, 1.0) * (dim - 1)          # [P, 3]
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, dim - 2)
+    w = pos[:, None, :]                                 # [P, 1, 3]
+    base = (
+        leaf[:, None, None] * (rank * 3 * dim)
+        + jnp.arange(rank, dtype=jnp.int32)[None, :, None] * (3 * dim)
+        + jnp.arange(3, dtype=jnp.int32)[None, None, :] * dim
+    )                                                   # [P, rank, 3]
+    lin0 = base + i0[:, None, :]
+    v0 = flat[lin0]
+    v1 = flat[lin0 + 1]
+    frac = w - i0[:, None, :]
+    v = v0 * (1.0 - frac) + v1 * frac                   # [P, rank, 3]
+    return v[..., 0] * v[..., 1] * v[..., 2]
+
+
 def leaf_index_grid(tree: DfsOctree) -> jnp.ndarray:
     """Dense [R, R, R] int32 grid mapping finest-resolution cells to leaf
     ids (-1 = empty), R = 2^max_depth. O(1) point->leaf lookup for the

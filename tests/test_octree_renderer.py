@@ -226,3 +226,18 @@ def test_subdivided_tree_renders():
     out = _render(oct)
     a = np.asarray(out["alpha"])
     assert a[16, 16] > 0.9 and a[0, 0] < 0.05
+
+
+def test_sample_trivec_taps_matches_full_gather():
+    """The tap-gather evaluator must equal sample_trivec on gathered leaves."""
+    from gvfdiffusion_tpu.representations.octree import sample_trivec_taps
+
+    rng = np.random.default_rng(3)
+    n, rank, dim, p = 7, 3, 5, 11
+    tv = jnp.asarray(rng.standard_normal((n, rank, 3, dim)), jnp.float32)
+    leaf = jnp.asarray(rng.integers(0, n, (p,)), jnp.int32)
+    rel = jnp.asarray(rng.uniform(0, 1, (p, 3)), jnp.float32)
+    full = sample_trivec(tv[leaf], rel)
+    taps = sample_trivec_taps(tv, leaf, rel)
+    np.testing.assert_allclose(np.asarray(taps), np.asarray(full),
+                               rtol=1e-5, atol=1e-6)

@@ -4,9 +4,10 @@ Re-design of trellis/pipelines/samplers/flow_euler.py:11-245 (+ the CFG and
 guidance-interval mixins): the whole sampling loop is a `lax.scan` over a
 precomputed (host-side numpy) rescaled t-grid, so the 12-step TRELLIS
 sparse-structure and SLat sampling passes each compile to one XLA graph.
-Outside the guidance interval the neg pass is skipped via lax.cond; CFG can
-optionally run as one 2B-batched model call (cfg_batched, off by default —
-see predict_v for the measurement).
+CFG always computes both cond and neg passes and where-selects by the
+guidance interval (a lax.cond skip was measured SLOWER — it breaks scan
+pipelining; see predict_v); CFG can optionally run as one 2B-batched model
+call (cfg_batched, off by default — also measured slower).
 """
 
 from __future__ import annotations

@@ -70,10 +70,20 @@ class CLIPImageEncoder(nn.Module):
         std = jnp.asarray(CLIP_STD)
         x = (images - mean) / std
         if x.shape[1:3] != (self.image_size, self.image_size):
-            x = jax.image.resize(
-                x, (x.shape[0], self.image_size, self.image_size, 3),
-                "bilinear",
-            )
+            # OpenAI CLIP preprocessing: BICUBIC resize of the SHORT side to
+            # image_size, then center crop — not a full-image stretch (which
+            # would distort non-square inputs and drift the embeddings).
+            b, h, w, _ = x.shape
+            if h <= w:
+                rh, rw = self.image_size, max(
+                    self.image_size, int(round(w * self.image_size / h)))
+            else:
+                rw, rh = self.image_size, max(
+                    self.image_size, int(round(h * self.image_size / w)))
+            x = jax.image.resize(x, (b, rh, rw, 3), "cubic")
+            oy = (rh - self.image_size) // 2
+            ox = (rw - self.image_size) // 2
+            x = x[:, oy:oy + self.image_size, ox:ox + self.image_size, :]
         p = self.patch_size
         h = nn.Conv(self.width, (p, p), strides=(p, p), padding="VALID",
                     use_bias=False, dtype=self.dtype, name="conv1")(x)

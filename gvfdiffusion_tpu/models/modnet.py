@@ -82,18 +82,21 @@ class MobileNetV2Encoder(nn.Module):
     def __call__(self, x, train: bool = False):
         c = lambda ch: max(8, int(ch * self.width))
         h = ConvBNReLU(c(32), kernel=3, stride=2)(x, train)
-        enc2x = h
         taps = {}
-        stride_prod = 2
-        for expand, ch, reps, stride in self.cfg:
+        for si, (expand, ch, reps, stride) in enumerate(self.cfg):
             for i in range(reps):
                 s = stride if i == 0 else 1
                 h = InvertedResidual(c(ch), s, expand)(h, train)
-                stride_prod *= s
-                if stride_prod == 4 and "enc4x" not in taps:
-                    taps["enc4x"] = h
+            # Official MODNet MobileNetV2Backbone split: enc2x is
+            # features[0:2] (stem conv + the 16-channel block), enc4x is
+            # features[2:4] (the FULL 24-channel stage) — matching the
+            # published checkpoint's tohr_enc2x/enc4x input widths.
+            if si == 0:
+                taps["enc2x"] = h
+            elif si == 1:
+                taps["enc4x"] = h
         h = ConvBNReLU(c(1280), kernel=1)(h, train)
-        return enc2x, taps["enc4x"], h
+        return taps["enc2x"], taps["enc4x"], h
 
 
 class SEBlock(nn.Module):

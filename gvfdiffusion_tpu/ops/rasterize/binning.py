@@ -82,18 +82,34 @@ def intersect_tiles(
     return inter, conic, n_ty, n_tx
 
 
-def select_front(inter, depths, cursor, k):
+def select_front(inter, depths, cursor_d, cursor_i, k):
     """Per tile, pick the k front-most intersecting gaussians strictly behind
-    `cursor` (the multi-round work-list: cursor advances past what previous
-    rounds blended). inter [T', N], depths [N], cursor [T'] -> (idx [T', k],
-    mask [T', k], new_cursor [T'])."""
-    cand = inter & (depths[None, :] > cursor[:, None])
-    key = jnp.where(cand, -depths[None, :], -jnp.inf)
-    neg_depth, idx = jax.lax.top_k(key, k)  # ascending depth order
+    the lexicographic (depth, index) cursor — the multi-round work-list:
+    the cursor advances past what previous rounds blended. The index tiebreak
+    matters: coincident depths are common (e.g. per-voxel gaussian groups at
+    zero-init offsets), and a depth-only cursor would drop ties that straddle
+    a round boundary. `lax.top_k` breaks ties toward lower indices, so the
+    taken set is exactly the k lexicographically-smallest (depth, index)
+    candidates, and the new cursor is the largest taken pair.
+
+    inter [T', N], depths [N], cursor_d/cursor_i [T'] ->
+    (idx [T', k], mask [T', k], new_cursor_d [T'], new_cursor_i [T'])."""
+    d = depths[None, :]
+    i = jnp.arange(depths.shape[0])[None, :]
+    cand = inter & (
+        (d > cursor_d[:, None])
+        | ((d == cursor_d[:, None]) & (i > cursor_i[:, None]))
+    )
+    key = jnp.where(cand, -d, -jnp.inf)
+    neg_depth, idx = jax.lax.top_k(key, k)  # ascending depth, then index
     mask = jnp.isfinite(neg_depth)
-    taken_depth = jnp.where(mask, -neg_depth, -jnp.inf)
-    new_cursor = jnp.maximum(cursor, jnp.max(taken_depth, axis=-1))
-    return idx, mask, new_cursor
+    taken_d = jnp.where(mask, -neg_depth, -jnp.inf)
+    d_max = jnp.max(taken_d, axis=-1)
+    i_max = jnp.max(jnp.where(taken_d == d_max[:, None], idx, -1), axis=-1)
+    any_taken = jnp.any(mask, axis=-1)
+    new_d = jnp.where(any_taken, d_max, cursor_d)
+    new_i = jnp.where(any_taken, i_max, cursor_i)
+    return idx, mask, new_d, new_i
 
 
 def bin_gaussians(
@@ -112,8 +128,10 @@ def bin_gaussians(
         mean2d, cov2d, opacities, valid, height, width, tile
     )
     max_per_tile = min(max_per_tile, mean2d.shape[0])
-    cursor = jnp.full((inter.shape[0],), -jnp.inf)
-    idx, mask, _ = select_front(inter, depths, cursor, max_per_tile)
+    cursor_d = jnp.full((inter.shape[0],), -jnp.inf)
+    cursor_i = jnp.full((inter.shape[0],), -1)
+    idx, mask, _, _ = select_front(inter, depths, cursor_d, cursor_i,
+                                   max_per_tile)
     take = lambda a: jnp.take(a, idx, axis=0)
     return BinnedGaussians(
         mean2d=take(mean2d),

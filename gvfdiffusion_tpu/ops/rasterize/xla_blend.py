@@ -125,12 +125,13 @@ def blend_tiles_multiround(
     tx = jnp.tile(jnp.arange(n_tx) * tile, (n_ty,)).astype(jnp.float32)
 
     def round_body(state, inter_t, oy, ox):
-        # one tile: cursor [], trans [P], rgb [P,3], dep [P]
-        cursor, trans, rgb, dep = state
-        idx, mask, cursor = select_front(
-            inter_t[None], depths, cursor[None], k
+        # one tile: cursor (d [], i []), trans [P], rgb [P,3], dep [P]
+        (cur_d, cur_i), trans, rgb, dep = state
+        idx, mask, cur_d, cur_i = select_front(
+            inter_t[None], depths, cur_d[None], cur_i[None], k
         )
-        idx, mask, cursor = idx[0], mask[0], cursor[0]
+        idx, mask = idx[0], mask[0]
+        cursor = (cur_d[0], cur_i[0])
         take = lambda a: jnp.take(a, idx, axis=0)  # [k, ...]
         m2d, con = take(mean2d), take(conic)
         col, opa = take(colors), jnp.where(mask, take(opacities), 0.0)
@@ -160,16 +161,20 @@ def blend_tiles_multiround(
         inter_t, oy, ox = args  # [N], [], []
         p = tile * tile
         init = (
-            jnp.asarray(-jnp.inf),
+            (jnp.asarray(-jnp.inf), jnp.asarray(-1)),
             jnp.ones((p,)),
             jnp.zeros((p, 3)),
             jnp.zeros((p,)),
         )
         if early_exit:
             def cond(carry):
-                r, (cursor, trans, _, _) = carry
+                r, ((cur_d, cur_i), trans, _, _) = carry
                 live = jnp.any(trans > _T_EPS)
-                more = jnp.any(inter_t & (depths > cursor))
+                ids = jnp.arange(depths.shape[0])
+                more = jnp.any(
+                    inter_t
+                    & ((depths > cur_d) | ((depths == cur_d) & (ids > cur_i)))
+                )
                 return (r < rounds) & live & more
 
             def body(carry):

@@ -11,11 +11,46 @@ call sites.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_DIST_INITIALIZED = False
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host (DCN) hook: call once per process before building meshes.
+
+    Wraps `jax.distributed.initialize`, which wires the cross-host runtime so
+    `jax.devices()` spans every host's chips (collectives then ride ICI
+    within a slice and DCN across slices — the scaling-book recipe). On a
+    single host (the v5e-8 target, and this image) it is a documented no-op:
+    with no coordinator configured (args or JAX_COORDINATOR_ADDRESS /
+    auto-detected TPU metadata) the local-process default stands.
+
+    Returns the process count (1 when single-host).
+    """
+    global _DIST_INITIALIZED
+    configured = (
+        coordinator_address is not None
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+    )
+    if configured and not _DIST_INITIALIZED:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        _DIST_INITIALIZED = True
+    return jax.process_count()
 
 
 def make_mesh(
@@ -23,7 +58,11 @@ def make_mesh(
     axes: Sequence[str] = ("data",),
     devices=None,
 ) -> Mesh:
-    """1-D (or reshaped) mesh over the first n_devices local devices."""
+    """1-D (or reshaped) mesh over the first n_devices GLOBAL devices.
+
+    After init_distributed on multi-host, jax.devices() is the global device
+    list, so the same call sites scale from one host to a DCN-connected pod
+    without change; single-host it is the local chips."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:

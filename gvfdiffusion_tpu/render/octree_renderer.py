@@ -27,7 +27,8 @@ from ..ops.sh import eval_sh, rgb_from_sh_dc
 from ..representations.camera import Camera
 from ..representations.octree import (DecoupolyOctree, GaussianOctree,
                                       Strivec, VoxelOctree, leaf_index_grid,
-                                      lookup_leaf, sample_trivec_taps)
+                                      lookup_leaf, lookup_leaf_local,
+                                      sample_trivec_taps)
 from .volume_renderer import render_volume
 
 OctreePayload = Union[VoxelOctree, GaussianOctree, Strivec, DecoupolyOctree]
@@ -67,7 +68,6 @@ def make_field(
     any octree payload. Points are in the octree's [0,1] normalized cube."""
     tree = oct.tree
     grid = leaf_index_grid(tree)
-    r = grid.shape[0]
 
     if isinstance(oct, VoxelOctree):
         def field(points, dirs):
@@ -83,19 +83,21 @@ def make_field(
             return sigma, rgb
 
     elif isinstance(oct, GaussianOctree):
-        # Isotropic blob: sigma(p) = -log(1-o)/cell * exp(-0.5 ||p-c||^2/std^2)
+        # Isotropic blob: sigma(p) = -log(1-o)*res * exp(-0.5 ||p-c||^2/std^2)
         # so a ray through the center accumulates alpha ~= o over one cell —
-        # the capability analog of OctreeGaussianRasterizer's splat.
+        # the capability analog of OctreeGaussianRasterizer's splat. res is
+        # the LEAF's resolution (2^depth): coarse leaves have bigger cells,
+        # so per-cell opacity means a proportionally smaller per-unit sigma.
         peak = -jnp.log1p(-jnp.clip(jax.nn.sigmoid(oct.opacity - 6.0),
-                                    0.0, 0.9999)) * r
+                                    0.0, 0.9999))
 
         def field(points, dirs):
-            leaf, rel = lookup_leaf(grid, points)
+            leaf, rel, res = lookup_leaf_local(grid, tree, points)
             hit = leaf >= 0
             safe = jnp.maximum(leaf, 0)
-            d2 = jnp.sum((rel - 0.5) ** 2, axis=-1)  # cell units^2
+            d2 = jnp.sum((rel - 0.5) ** 2, axis=-1)  # leaf units^2
             kern = jnp.exp(-0.5 * d2 / (_GAUSS_STD_FRAC * 0.5) ** 2)
-            sigma = jnp.where(hit, peak[safe] * kern, 0.0)
+            sigma = jnp.where(hit, peak[safe] * res * kern, 0.0)
             rgb = _leaf_colors(oct.colors_dc, oct.colors_ac, safe, dirs,
                                colors_overwrite)
             return sigma, rgb
@@ -106,13 +108,13 @@ def make_field(
         cl = oct.colors if used_rank is None else oct.colors[:, :used_rank]
 
         def field(points, dirs):
-            leaf, rel = lookup_leaf(grid, points)
+            leaf, rel, res = lookup_leaf_local(grid, tree, points)
             hit = leaf >= 0
             safe = jnp.maximum(leaf, 0)
             prod = sample_trivec_taps(tv, safe, rel)   # [P, rank]
             contrib = dn[safe] * prod                   # identity activation
-            sigma = jax.nn.relu(jnp.sum(contrib, -1) + oct.density_shift) * r
-            sigma = jnp.where(hit, sigma, 0.0)
+            sigma = jax.nn.relu(jnp.sum(contrib, -1) + oct.density_shift)
+            sigma = jnp.where(hit, sigma * res, 0.0)
             rgb = _rank_color(cl, contrib, safe, colors_overwrite)
             return sigma, rgb
 
@@ -127,17 +129,18 @@ def make_field(
         degree = g_.shape[-1]
 
         def field(points, dirs):
-            leaf, rel = lookup_leaf(grid, points)
+            leaf, rel, res = lookup_leaf_local(grid, tree, points)
             hit = leaf >= 0
             safe = jnp.maximum(leaf, 0)
-            local = rel * 2.0 - 1.0                     # [-1,1] cell coords
+            local = rel * 2.0 - 1.0                     # [-1,1] leaf coords
             t = jnp.einsum("prd,pd->pr", vn[safe], local)  # [P, rank]
             poly = jnp.zeros_like(t)
             for d in range(degree - 1, -1, -1):         # Horner, static unroll
                 poly = poly * t + g_[safe][..., d]
             contrib = jnp.exp(dn[safe] - 2.0) * jax.nn.relu(poly)
             sigma = jnp.where(
-                hit, jax.nn.relu(jnp.sum(contrib, -1) + oct.density_shift) * r,
+                hit,
+                jax.nn.relu(jnp.sum(contrib, -1) + oct.density_shift) * res,
                 0.0,
             )
             rgb = _rank_color(cl, contrib, safe, colors_overwrite)

@@ -168,7 +168,11 @@ def leaf_index_grid(tree: DfsOctree) -> jnp.ndarray:
 
 def lookup_leaf(grid: jnp.ndarray, points: jnp.ndarray):
     """points [P,3] in [0,1] -> (leaf ids [P] int32 with -1 miss,
-    in-cell coords [P,3] in [0,1] at the grid's resolution)."""
+    in-cell coords [P,3] in [0,1] at the grid's FINEST resolution).
+
+    NOTE: for mixed-depth trees the returned rel is finest-cell-local, not
+    leaf-local — field evaluation should use lookup_leaf_local, which spans
+    each leaf's actual cell (they agree on uniform max_depth trees)."""
     r = grid.shape[0]
     scaled = points * r
     cell = jnp.clip(jnp.floor(scaled).astype(jnp.int32), 0, r - 1)
@@ -180,6 +184,24 @@ def lookup_leaf(grid: jnp.ndarray, points: jnp.ndarray):
     leaf = jnp.where(inside, leaf, -1)
     rel = jnp.clip(scaled - cell, 0.0, 1.0)
     return leaf, rel
+
+
+def lookup_leaf_local(grid: jnp.ndarray, tree: DfsOctree, points: jnp.ndarray):
+    """O(1) leaf lookup returning LEAF-local coordinates.
+
+    For mixed-depth trees a leaf coarser than max_depth spans
+    2^(max_depth-depth) finest cells; its primitive must be evaluated once
+    over the whole leaf (the reference rasterizers sample leaf-locally),
+    not tiled per finest cell. Returns (leaf ids [P] with -1 miss,
+    leaf-local coords [P,3] in [0,1], leaf resolution [P] = 2^depth cells
+    per unit length — the correct density scale: per-cell opacity converts
+    to per-unit sigma via the leaf's OWN cell size)."""
+    leaf, _ = lookup_leaf(grid, points)
+    safe = jnp.maximum(leaf, 0)
+    res = 2.0 ** tree.depths[safe].astype(jnp.float32)
+    corner = tree.positions[safe] - 0.5 / res[:, None]
+    rel = jnp.clip((points - corner) * res[:, None], 0.0, 1.0)
+    return leaf, rel, res
 
 
 @flax.struct.dataclass

@@ -113,10 +113,21 @@ def from_dense(dense: jnp.ndarray, capacity: int, threshold: float = 0.0) -> Spa
 
     Host-friendly (uses top_k to fit static capacity; excess cells dropped by
     magnitude — callers should size `capacity` above expected occupancy).
+    With GVF_DEBUG=1 an occupancy > capacity raises instead of silently
+    dropping (a structure-generation bug upstream would otherwise pass
+    unnoticed into SLat sampling).
     """
     b, r, _, _, c = dense.shape
     flat = dense.reshape(b, r * r * r, c)
     occ = jnp.max(jnp.abs(flat), axis=-1) > threshold
+    from . import debug as _debug
+    if _debug.DEBUG and not isinstance(occ, jax.core.Tracer):  # host-side only
+        n_occ = int(jnp.max(jnp.sum(occ, axis=-1)))
+        if n_occ > capacity:
+            raise _debug.SparseInvariantError(
+                f"from_dense overflow: {n_occ} occupied cells > capacity "
+                f"{capacity} — excess would be silently dropped"
+            )
     # order: occupied cells first (stable by linear index)
     score = occ.astype(jnp.int32)
     _, idx = jax.lax.top_k(score * (r * r * r) - jnp.arange(r * r * r), capacity)

@@ -241,3 +241,63 @@ def test_sample_trivec_taps_matches_full_gather():
     taps = sample_trivec_taps(tv, leaf, rel)
     np.testing.assert_allclose(np.asarray(taps), np.asarray(full),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_lookup_leaf_local_coarse_leaf():
+    """Leaf-local coords span a COARSE leaf's whole cell once (not tiled per
+    finest cell — ADVICE r2), and the returned resolution is the leaf's own
+    2^depth."""
+    from gvfdiffusion_tpu.representations.octree import (leaf_index_grid,
+                                                         lookup_leaf_local)
+
+    # one depth-1 leaf on the low octant of a max_depth=3 tree
+    tree = DfsOctree(
+        positions=jnp.asarray([[0.25, 0.25, 0.25]]),
+        depths=jnp.asarray([1], jnp.int32),
+        features=jnp.zeros((1, 1)),
+        valid=jnp.asarray([True]),
+        max_depth=3,
+    )
+    grid = leaf_index_grid(tree)
+    pts = jnp.asarray([
+        [0.01, 0.01, 0.01],   # near leaf corner -> rel ~ 0.02
+        [0.25, 0.25, 0.25],   # leaf center -> rel = 0.5
+        [0.49, 0.49, 0.49],   # near far corner -> rel ~ 0.98
+    ])
+    leaf, rel, res = lookup_leaf_local(grid, tree, pts)
+    assert (np.asarray(leaf) == 0).all()
+    np.testing.assert_allclose(np.asarray(res), 2.0)
+    np.testing.assert_allclose(np.asarray(rel)[0], [0.02, 0.02, 0.02], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rel)[1], [0.5, 0.5, 0.5], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rel)[2], [0.98, 0.98, 0.98], atol=1e-6)
+
+
+def test_gaussian_field_coarse_leaf_single_blob():
+    """On a mixed-depth tree the gaussian payload must evaluate as ONE blob
+    over the coarse leaf (the old finest-cell rel tiled it 2^(dmax-d)^3
+    times). The kernel must peak at the leaf center and decay monotonically
+    toward the corner along the diagonal."""
+    from gvfdiffusion_tpu.render.octree_renderer import make_field
+
+    tree = DfsOctree(
+        positions=jnp.asarray([[0.25, 0.25, 0.25]]),
+        depths=jnp.asarray([1], jnp.int32),
+        features=jnp.zeros((1, 1)),
+        valid=jnp.asarray([True]),
+        max_depth=3,
+    )
+    oct = GaussianOctree(
+        tree=tree,
+        opacity=jnp.asarray([6.0]),  # sigmoid(0) = 0.5
+        colors_dc=jnp.asarray([[0.5, 0.5, 0.5]]),
+    )
+    field = make_field(oct)
+    ts = np.linspace(0.02, 0.25, 12)  # corner -> leaf center on the diagonal
+    pts = jnp.asarray(np.stack([ts, ts, ts], -1))
+    dirs = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), pts.shape)
+    sigma, _ = field(pts, dirs)
+    s = np.asarray(sigma)
+    # strictly increasing toward the center => one blob over the whole leaf
+    assert (np.diff(s) > 0).all(), s
+    # peak scaled by the LEAF's resolution (2), not the finest grid's (8)
+    np.testing.assert_allclose(s[-1], -np.log1p(-0.5) * 2.0, rtol=1e-3)

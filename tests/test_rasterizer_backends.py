@@ -208,3 +208,36 @@ def test_topk_binning_psnr_converges_dense_scene():
     p_rounds = psnr(render_k(256, rounds=8, early_exit=True), ref)
     assert p_rounds > 50.0, (p_rounds, psnrs)
     assert p_rounds > psnrs[1] + 10.0, (p_rounds, psnrs)
+
+
+def test_multiround_equal_depth_ties_across_rounds():
+    """Coincident-depth gaussians straddling a round boundary must still all
+    be blended (a depth-only cursor would drop them; the cursor is
+    lexicographic (depth, index) — ADVICE r2). 12 gaussians at ONE depth,
+    per_round=5: rounds 1-3 split the tie group 5/5/2."""
+    from gvfdiffusion_tpu.ops.rasterize.xla_blend import blend_tiles_multiround
+
+    n = 12
+    rng = np.random.default_rng(3)
+    mean2d = jnp.asarray(rng.uniform(8, 56, (n, 2)).astype(np.float32))
+    cov2d = jnp.broadcast_to(jnp.eye(2) * 9.0, (n, 2, 2)).astype(jnp.float32)
+    colors = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    opac = jnp.full((n,), 0.6, jnp.float32)
+    depths = jnp.full((n,), 2.5, jnp.float32)  # ALL equal
+    valid = jnp.ones((n,), bool)
+    bg = jnp.asarray([0.0, 0.0, 0.0])
+    common = (mean2d, cov2d, colors, opac, depths, valid, 64, 64, bg)
+
+    ref, dep_ref, acc_ref = blend_tiles_multiround(
+        *common, tile=32, per_round=n, rounds=1
+    )
+    got, dep_got, acc_got = blend_tiles_multiround(
+        *common, tile=32, per_round=5, rounds=3
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(acc_got), np.asarray(acc_ref),
+                               atol=1e-5)
+    got_e, _, acc_e = blend_tiles_multiround(
+        *common, tile=32, per_round=5, rounds=3, early_exit=True
+    )
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(ref), atol=1e-5)

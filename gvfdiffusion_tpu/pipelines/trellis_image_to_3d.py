@@ -110,15 +110,18 @@ class TrellisImageTo3DPipeline:
 
     # -- stage 3: sparse structure -----------------------------------------
 
-    def sample_sparse_structure(self, cond: jnp.ndarray, rng: jax.Array) -> SparseVoxels:
+    def sample_sparse_structure(self, cond: jnp.ndarray, rng: jax.Array,
+                                noise: Optional[jnp.ndarray] = None) -> SparseVoxels:
         """cond [B, L, C] -> occupied-voxel SparseVoxels at grid resolution
-        (reference :165-196)."""
+        (reference :165-196). `noise` overrides the random draw (golden
+        tests inject the torch reference's noise)."""
         c = self.cfg
         B = cond.shape[0]
         r = c.ss_resolution
         in_ch = self.ss_flow.in_channels
         sampler = FlowEulerGuidanceIntervalSampler()
-        noise = jax.random.normal(rng, (B, r, r, r, in_ch))
+        if noise is None:
+            noise = jax.random.normal(rng, (B, r, r, r, in_ch))
 
         def model(x, t, cc):
             return self.ss_flow.apply(self.ss_flow_params, x, t, cc)
@@ -134,15 +137,19 @@ class TrellisImageTo3DPipeline:
     # -- stage 4: SLat ------------------------------------------------------
 
     def sample_slat(self, structure: SparseVoxels, cond: jnp.ndarray,
-                    rng: jax.Array) -> SparseVoxels:
+                    rng: jax.Array,
+                    noise_feats: Optional[jnp.ndarray] = None) -> SparseVoxels:
         """Flow sampling of latent features on the occupied voxels
-        (reference :222-255)."""
+        (reference :222-255). `noise_feats` [B, L, C_in] overrides the
+        random draw (golden tests inject the torch reference's noise)."""
         c = self.cfg
         in_ch = self.slat_flow.in_channels
-        noise = structure.replace(
-            feats=jax.random.normal(
+        if noise_feats is None:
+            noise_feats = jax.random.normal(
                 rng, structure.feats.shape[:2] + (in_ch,)
-            ) * structure.valid[..., None]
+            )
+        noise = structure.replace(
+            feats=noise_feats * structure.valid[..., None]
         )
         sampler = FlowEulerGuidanceIntervalSampler()
 

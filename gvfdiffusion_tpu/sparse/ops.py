@@ -101,7 +101,14 @@ def _flat(coords, res):
 
 
 def sparse_downsample(x: SparseVoxels, factor: int = 2) -> DownsampleResult:
-    """Mean-pool voxels into coords//factor cells (reference sparse/spatial.py:13).
+    """Pool voxels into coords//factor cells (reference sparse/spatial.py:13).
+
+    CHECKPOINT-COMPAT QUIRK: the reference's "average pooling" uses
+    torch.scatter_reduce(zeros, reduce='mean') with the default
+    include_self=True, so the zero initial element joins the mean — each
+    parent gets sum/(n_children + 1), NOT a true mean (verified against the
+    reference on CPU). Released SLat-flow weights were trained with this
+    scaling, so we reproduce it exactly.
 
     Sort-based dedup: children sorted by parent code; run starts delimit
     parents; segment_sum pools. Parent tensor reuses capacity L.
@@ -122,7 +129,7 @@ def sparse_downsample(x: SparseVoxels, factor: int = 2) -> DownsampleResult:
         cnt = jax.ops.segment_sum(
             valid_b[order].astype(feats_b.dtype), seg, num_segments=l
         )
-        mean = pooled / jnp.maximum(cnt, 1.0)[:, None]
+        mean = pooled / (cnt + 1.0)[:, None]  # +1: include_self zero (above)
         # parent coords: from the first child of each run
         pkey = jax.ops.segment_max(sorted_key, seg, num_segments=l)
         pvalid = cnt > 0

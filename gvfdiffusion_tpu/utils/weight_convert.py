@@ -424,3 +424,121 @@ def convert_ss_decoder(state_dict: Dict[str, Any],
     _layernorm(sd, "out_layer.0", p, ["out_norm"])
     conv("out_layer.2", ["out_layer"])
     return {"params": p}
+
+
+# -- TRELLIS SLat stage -------------------------------------------------------
+
+
+def _spconv(sd, tname, tree, fpath):
+    """spconv 2.x SubMConv3d weight (KRSC: [O, k0, k1, k2, I]) -> flax
+    SparseConv3d kernel [K^3, I, O]. Both sides follow dense Conv3d
+    cross-correlation semantics with center padding and row-major kernel
+    offset enumeration, so the map is a pure transpose+reshape."""
+    w = np.asarray(sd[f"{tname}.weight"])
+    o, k0, k1, k2, i = w.shape
+    w = np.transpose(w, (1, 2, 3, 4, 0)).reshape(k0 * k1 * k2, i, o)
+    set_in(tree, fpath + ["kernel"], w)
+    if f"{tname}.bias" in sd:
+        set_in(tree, fpath + ["bias"], np.asarray(sd[f"{tname}.bias"]))
+
+
+def _slat_res_block(sd, b, p, fp):
+    """reference structured_latent_flow.SparseResBlock3d -> flax
+    models/trellis/slat_flow.SparseResBlock3d (norm2 is affine-free)."""
+    _layernorm(sd, f"{b}.norm1", p, fp + ["norm1", "LayerNorm_0"])
+    _spconv(sd, f"{b}.conv1.conv", p, fp + ["conv1"])
+    _spconv(sd, f"{b}.conv2.conv", p, fp + ["conv2"])
+    _linear(sd, f"{b}.emb_layers.1", p, fp + ["emb_layers"])
+    if f"{b}.skip_connection.weight" in sd:
+        _linear(sd, f"{b}.skip_connection", p,
+                fp + ["skip_connection", "Dense_0"])
+
+
+def _mscb_block(sd, b, p, fp, qk_rms, qk_rms_cross, share_mod):
+    """trellis/modules/sparse/transformer/modulated.py
+    ModulatedSparseTransformerCrossBlock -> flax ModulatedSparseCrossBlock
+    (norm1/norm3 affine-free; norm2 affine)."""
+    if not share_mod:
+        _linear(sd, f"{b}.adaLN_modulation.1", p, fp + ["adaLN_modulation"])
+    _layernorm(sd, f"{b}.norm2", p, fp + ["norm2", "LayerNorm_0"])
+    _mha(sd, f"{b}.self_attn", p, fp + ["self_attn"], True, qk_rms)
+    _mha(sd, f"{b}.cross_attn", p, fp + ["cross_attn"], False, qk_rms_cross)
+    _linear(sd, f"{b}.mlp.mlp.0", p, fp + ["mlp", "mlp_0", "Dense_0"])
+    _linear(sd, f"{b}.mlp.mlp.2", p, fp + ["mlp", "mlp_2", "Dense_0"])
+
+
+def convert_slat_flow(
+    state_dict: Dict[str, Any],
+    num_blocks: int = 24,
+    io_block_channels=(128,),
+    num_io_res_blocks: int = 2,
+    share_mod: bool = False,
+    qk_rms_norm: bool = False,
+    qk_rms_norm_cross: bool = False,
+) -> Dict:
+    """trellis/models/structured_latent_flow.py SLatFlowModel:234 ->
+    flax models/trellis/slat_flow.SLatFlowModel. Loading layout per
+    trellis/models/__init__.py:78-97 (slat_flow_img_dit_L_64l8p2)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    p: Dict = {}
+
+    _linear(sd, "input_layer", p, ["input_layer", "Dense_0"])
+    _linear(sd, "t_embedder.mlp.0", p, ["t_embedder", "mlp_0"])
+    _linear(sd, "t_embedder.mlp.2", p, ["t_embedder", "mlp_2"])
+    if share_mod:
+        _linear(sd, "adaLN_modulation.1", p, ["adaLN_modulation"])
+
+    n_in = len(io_block_channels) * num_io_res_blocks
+    for i in range(n_in):
+        _slat_res_block(sd, f"input_blocks.{i}", p, [f"input_blocks_{i}"])
+    for i in range(num_blocks):
+        _mscb_block(sd, f"blocks.{i}", p, [f"blocks_{i}"],
+                    qk_rms_norm, qk_rms_norm_cross, share_mod)
+    for i in range(n_in):
+        _slat_res_block(sd, f"out_blocks.{i}", p, [f"out_blocks_{i}"])
+    _linear(sd, "out_layer", p, ["out_layer", "Dense_0"])
+    return {"params": p}
+
+
+def _slat_torso(sd, p, num_blocks, qk_rms):
+    """structured_latent_vae/base.py SparseTransformerBase -> flax
+    slat_decoders.SparseTransformerBase (norms are affine-free;
+    pos_embedder is parameter-free)."""
+    _linear(sd, "input_layer", p, ["torso", "input_layer", "Dense_0"])
+    for i in range(num_blocks):
+        b = f"blocks.{i}"
+        fp = ["torso", f"blocks_{i}"]
+        _mha(sd, f"{b}.attn", p, fp + ["attn"], True, qk_rms)
+        _linear(sd, f"{b}.mlp.mlp.0", p, fp + ["mlp", "mlp_0", "Dense_0"])
+        _linear(sd, f"{b}.mlp.mlp.2", p, fp + ["mlp", "mlp_2", "Dense_0"])
+
+
+def convert_slat_encoder(state_dict: Dict[str, Any], num_blocks: int = 12,
+                         qk_rms_norm: bool = False) -> Dict:
+    """structured_latent_vae/encoder.py SLatEncoder -> flax SLatEncoder."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    p: Dict = {}
+    _slat_torso(sd, p, num_blocks, qk_rms_norm)
+    _linear(sd, "out_layer", p, ["out_layer", "Dense_0"])
+    return {"params": p}
+
+
+def convert_slat_gs_decoder(state_dict: Dict[str, Any], num_blocks: int = 12,
+                            qk_rms_norm: bool = False) -> Dict:
+    """True-TRELLIS SLatGaussianDecoder (decoder_gs.py:117) -> flax
+    SLatGaussianDecoder. (The GVF static-VAE checkpoint surgery variant is
+    convert_static_vae_to_slat_decoder above; this one loads the released
+    TRELLIS-image-large safetensors layout.) The offset_perturbation buffer
+    is parameter-free on our side (recomputed from the Hammersley sequence)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    p: Dict = {}
+    _slat_torso(sd, p, num_blocks, qk_rms_norm)
+    _linear(sd, "out_layer", p, ["out_layer", "Dense_0"])
+    return {"params": p}
+
+
+def convert_slat_rf_decoder(state_dict: Dict[str, Any], num_blocks: int = 12,
+                            qk_rms_norm: bool = False) -> Dict:
+    """SLatRadianceFieldDecoder (decoder_rf.py) -> flax
+    SLatRadianceFieldDecoder (same torso + out_layer shape)."""
+    return convert_slat_gs_decoder(state_dict, num_blocks, qk_rms_norm)

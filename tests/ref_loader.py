@@ -197,7 +197,64 @@ def _make_spconv_stub():
                 feats, self.indices, self.spatial_shape, self.batch_size
             )
 
+    import torch
+    import torch.nn as nn
+
+    class ConvAlgo:
+        Native = "native"
+        MaskImplicitGemm = "mask_implicit_gemm"
+        MaskSplitImplicitGemm = "mask_split_implicit_gemm"
+
+    class SubMConv3d(nn.Module):
+        """Pure-torch submanifold conv matching spconv 2.x semantics:
+        weight layout KRSC (out, k0, k1, k2, in), cross-correlation with
+        implicit center padding — out[p] = sum_k W[:,k,:] @ x[p + k - c].
+        Slow O(N * K^3) dict lookups; parity-test scale only."""
+
+        def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                     padding=0, dilation=1, bias=True, indice_key=None,
+                     algo=None, **kw):
+            super().__init__()
+            ks = (kernel_size if isinstance(kernel_size, (tuple, list))
+                  else (kernel_size,) * 3)
+            assert all(k % 2 == 1 for k in ks), "SubM requires odd kernels"
+            assert dilation in (1, (1, 1, 1)), "stub supports dilation 1"
+            self.kernel_size = tuple(ks)
+            self.in_channels = in_channels
+            self.out_channels = out_channels
+            self.weight = nn.Parameter(
+                torch.randn(out_channels, *ks, in_channels) * 0.02
+            )
+            self.bias = nn.Parameter(torch.zeros(out_channels)) if bias else None
+
+        def forward(self, x):
+            coords = x.indices
+            feats = x.features
+            key = {tuple(c): i for i, c in enumerate(coords.tolist())}
+            out = feats.new_zeros(feats.shape[0], self.out_channels)
+            k0, k1, k2 = self.kernel_size
+            cl = coords.tolist()
+            for a in range(k0):
+                for b in range(k1):
+                    for c in range(k2):
+                        off = (a - k0 // 2, b - k1 // 2, c - k2 // 2)
+                        w = self.weight[:, a, b, c, :]  # [O, I]
+                        ro, ri = [], []
+                        for i, cc in enumerate(cl):
+                            j = key.get((cc[0], cc[1] + off[0],
+                                         cc[2] + off[1], cc[3] + off[2]))
+                            if j is not None:
+                                ro.append(i)
+                                ri.append(j)
+                        if ro:
+                            out[ro] += feats[ri] @ w.t()
+            if self.bias is not None:
+                out = out + self.bias
+            return SparseConvTensor(out, coords, x.spatial_shape, x.batch_size)
+
     sp_pytorch.SparseConvTensor = SparseConvTensor
+    sp_pytorch.SubMConv3d = SubMConv3d
+    sp_pytorch.ConvAlgo = ConvAlgo
     spconv.pytorch = sp_pytorch
     return spconv, sp_pytorch
 
@@ -304,6 +361,32 @@ def install_stubs():
         sys.modules["torchvision.models"] = models
     if "vox2seq" not in sys.modules:
         sys.modules["vox2seq"] = _make_vox2seq_stub()
+    if "easydict" not in sys.modules:
+        ed = types.ModuleType("easydict")
+
+        class EasyDict(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError as e:
+                    raise AttributeError(k) from e
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+        ed.EasyDict = EasyDict
+        sys.modules["easydict"] = ed
+    if "utils3d" not in sys.modules:
+        # only save_ply/load_ply paths touch it (quaternion<->matrix)
+        u3d = types.ModuleType("utils3d")
+        u3d.numpy = types.SimpleNamespace()
+        u3d.torch = types.SimpleNamespace()
+        sys.modules["utils3d"] = u3d
+    if "plyfile" not in sys.modules:
+        ply = types.ModuleType("plyfile")
+        ply.PlyData = object
+        ply.PlyElement = object
+        sys.modules["plyfile"] = ply
     if REF_ROOT not in sys.path:
         sys.path.append(REF_ROOT)
     _installed = True
@@ -331,6 +414,7 @@ def load_trellis(submodule: str):
     for name, path in [
         ("trellis", os.path.join(REF_ROOT, "trellis")),
         ("trellis.models", os.path.join(REF_ROOT, "trellis", "models")),
+        ("trellis.pipelines", os.path.join(REF_ROOT, "trellis", "pipelines")),
     ]:
         if name not in sys.modules:
             m = types.ModuleType(name)

@@ -92,7 +92,9 @@ def test_sparse_conv_matches_dense_conv():
 
 
 def test_downsample_mean_and_upsample():
-    # two children in the same parent cell -> parent feat = mean
+    # two children in the same parent cell -> parent feat = sum/(n+1),
+    # reproducing the reference's scatter_reduce include_self quirk
+    # (sparse/ops.sparse_downsample docstring): [2,4] -> 2.0, [10] -> 5.0
     x = from_lists(
         [np.array([[0, 0, 0], [0, 0, 1], [4, 4, 4]])],
         [np.array([[2.0], [4.0], [10.0]])],
@@ -102,11 +104,11 @@ def test_downsample_mean_and_upsample():
     assert parents.resolution == 4
     assert int(parents.counts()[0]) == 2
     pf = np.asarray(parents.feats[0])[np.asarray(parents.valid[0])]
-    assert sorted(pf[:, 0].tolist()) == [3.0, 10.0]
+    assert sorted(pf[:, 0].tolist()) == [2.0, 5.0]
     # upsample: children get their parent's value
     up = sparse_upsample(parents, x, c2p)
     vals = np.asarray(up.feats[0])[:3, 0]
-    np.testing.assert_allclose(vals, [3.0, 3.0, 10.0])
+    np.testing.assert_allclose(vals, [2.0, 2.0, 5.0])
 
 
 def test_subdivide():

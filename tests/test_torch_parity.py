@@ -885,3 +885,209 @@ def test_trellis_ss_decoder_parity():
     np.testing.assert_allclose(
         np.asarray(got).transpose(0, 4, 1, 2, 3), expect, atol=3e-5
     )
+
+
+# ------------------------------------------------------------- TRELLIS SLat
+
+
+def _slat_sparse_input(n=10, res=16, c=4, seed=7):
+    """Random sparse voxels as (coords [n,3], feats [n,c]) + torch/jax forms."""
+    rng = np.random.default_rng(seed)
+    lin = np.sort(rng.choice(res**3, size=n, replace=False))
+    coords = np.stack(
+        [lin // (res * res), (lin // res) % res, lin % res], -1
+    ).astype(np.int32)
+    feats = rng.normal(size=(n, c)).astype(np.float32) * 0.5
+    return coords, feats
+
+
+def _trellis_sparse(coords, feats):
+    sp_mod = ref_loader.load_trellis("trellis.modules.sparse")
+    n = coords.shape[0]
+    tcoords = torch.tensor(
+        np.concatenate([np.zeros((n, 1), np.int32), coords], 1)
+    )
+    return sp_mod.SparseTensor(feats=torch.tensor(feats), coords=tcoords)
+
+
+def _match_by_coords(t_coords, t_vals, m_coords, m_valid, m_vals, label,
+                     rtol=2e-4, atol=2e-4):
+    """Compare values voxel-by-voxel via coordinate keys (the two frameworks
+    order sparse rows differently)."""
+    t_map = {tuple(c): i for i, c in enumerate(np.asarray(t_coords))}
+    for li in range(m_coords.shape[0]):
+        if not m_valid[li]:
+            continue
+        ti = t_map[tuple(m_coords[li])]
+        np.testing.assert_allclose(
+            np.asarray(m_vals[li]), np.asarray(t_vals[ti]), rtol=rtol,
+            atol=atol, err_msg=f"{label} voxel {li}",
+        )
+
+
+def test_trellis_slat_flow_parity():
+    """TRELLIS SLatFlowModel (torch on CPU: computing SubMConv3d stub +
+    sdpa flash stub) vs flax slat_flow: same random weights -> same velocity
+    field through input res-blocks, downsample, transformer torso, upsample
+    with skips, and the out layer. Reference
+    trellis/models/structured_latent_flow.py:234."""
+    slf = ref_loader.load_trellis("trellis.models.structured_latent_flow")
+
+    kw = dict(resolution=16, in_channels=4, model_channels=32,
+              cond_channels=16, out_channels=4, num_blocks=2, num_heads=4,
+              patch_size=2, num_io_res_blocks=2, io_block_channels=[8],
+              # qk_rms_norm_cross stays False: the reference's cross+RMS
+              # path crashes on dense context (modules.py:133 unbinds dim 1
+              # of a [B,L,2,H,C] tensor), so released image-cond models
+              # cannot enable it
+              qk_rms_norm=True, qk_rms_norm_cross=False)
+    tm = _randomize(slf.SLatFlowModel(**kw), seed=11, scale=0.1).eval()
+
+    coords, feats = _slat_sparse_input(n=10, res=16, c=4)
+    tx = _trellis_sparse(coords, feats)
+    t = torch.tensor([500.0])
+    cond = torch.randn(1, 5, 16, generator=torch.Generator().manual_seed(12))
+    with torch.no_grad():
+        t_out = tm(tx, t, cond)
+
+    from gvfdiffusion_tpu.models.trellis.slat_flow import SLatFlowModel
+    from gvfdiffusion_tpu.sparse.tensor import from_lists
+
+    mine = SLatFlowModel(
+        resolution=16, in_channels=4, model_channels=32, cond_channels=16,
+        out_channels=4, num_blocks=2, num_heads=4, patch_size=2,
+        num_io_res_blocks=2, io_block_channels=(8,), qk_rms_norm=True,
+        qk_rms_norm_cross=False,
+    )
+    params = jax.tree.map(jnp.asarray, wc.convert_slat_flow(
+        {k: _np(v) for k, v in tm.state_dict().items()},
+        num_blocks=2, io_block_channels=(8,), num_io_res_blocks=2,
+        qk_rms_norm=True, qk_rms_norm_cross=False,
+    ))
+    x = from_lists([coords], [feats], resolution=16, capacity=12)
+    m_out = mine.apply(params, x, jnp.asarray([500.0]),
+                       jnp.asarray(_np(cond)))
+
+    _match_by_coords(
+        np.asarray(t_out.coords[:, 1:]), _np(t_out.feats),
+        np.asarray(x.coords[0]), np.asarray(x.valid[0]),
+        np.asarray(m_out.feats[0]), "slat_flow velocity",
+        rtol=5e-4, atol=5e-4,
+    )
+
+
+def test_trellis_slat_gs_decoder_parity():
+    """True-TRELLIS SLatGaussianDecoder (decoder_gs.py:117) vs flax: same
+    random weights -> same gaussian attributes per voxel (xyz after the
+    Hammersley perturbation + tanh squash, dc/scaling/rotation/opacity with
+    the per-attribute lr scaling)."""
+    import functools
+
+    dgs = ref_loader.load_trellis(
+        "trellis.models.structured_latent_vae.decoder_gs")
+    # the reference Gaussian hardcodes device='cuda' (gaussian_model.py:17)
+    dgs.Gaussian = functools.partial(dgs.Gaussian, device="cpu")
+
+    rep_cfg = dict(
+        num_gaussians=8, voxel_size=1.5, scaling_bias=0.004,
+        opacity_bias=0.1, scaling_activation="softplus",
+        perturb_offset=True,
+        lr={"_xyz": 1.0, "_features_dc": 1.0, "_scaling": 1.0,
+            "_rotation": 0.1, "_opacity": 1.0},
+        **{"3d_filter_kernel_size": 9e-4},
+    )
+    tm = _randomize(
+        dgs.SLatGaussianDecoder(
+            resolution=16, model_channels=32, latent_channels=4,
+            num_blocks=2, num_heads=4, attn_mode="swin", window_size=4,
+            representation_config=rep_cfg,
+        ), seed=21, scale=0.1,
+    ).eval()
+
+    coords, feats = _slat_sparse_input(n=8, res=16, c=4, seed=22)
+    tx = _trellis_sparse(coords, feats)
+    # setup_functions also hardcodes .cuda() on the bias tensors
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        with torch.no_grad():
+            t_gs = tm(tx)[0]
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+    from gvfdiffusion_tpu.models.sparse_vae import GSConfig
+    from gvfdiffusion_tpu.models.trellis.slat_decoders import SLatGaussianDecoder
+    from gvfdiffusion_tpu.sparse.tensor import from_lists
+
+    mine = SLatGaussianDecoder(
+        resolution=16, model_channels=32, latent_channels=4, num_blocks=2,
+        num_heads=4, attn_mode="swin", window_size=4,
+        rep_config=GSConfig(num_gaussians=8, voxel_size=1.5,
+                            scaling_bias=0.004, opacity_bias=0.1,
+                            scaling_activation="softplus",
+                            filter_3d_kernel_size=9e-4, lr_rotation=0.1),
+    )
+    params = jax.tree.map(jnp.asarray, wc.convert_slat_gs_decoder(
+        {k: _np(v) for k, v in tm.state_dict().items()}, num_blocks=2,
+    ))
+    x = from_lists([coords], [feats], resolution=16, capacity=8)
+    m_gs, m_valid = mine.apply(params, x)
+
+    # reference rows follow its coord order; ours follow slot order. Both
+    # expand each voxel into G consecutive gaussians.
+    g = 8
+    t_coords = np.asarray(tx.coords[:, 1:])
+    m_coords = np.asarray(x.coords[0])
+    t_map = {tuple(c): i for i, c in enumerate(t_coords)}
+    for li in range(x.capacity):
+        if not np.asarray(x.valid[0])[li]:
+            continue
+        ti = t_map[tuple(m_coords[li])]
+        for attr in ["_xyz", "_features_dc", "_scaling", "_rotation",
+                     "_opacity"]:
+            t_v = _np(getattr(t_gs, attr))[ti * g:(ti + 1) * g]
+            m_v = np.asarray(getattr(m_gs, attr))[0, li * g:(li + 1) * g]
+            np.testing.assert_allclose(
+                m_v, t_v, rtol=3e-4, atol=3e-4,
+                err_msg=f"{attr} voxel {li}",
+            )
+
+
+def test_trellis_slat_encoder_parity():
+    """TRELLIS SLatEncoder (encoder.py) vs flax: same weights -> same
+    posterior mean/logvar per voxel."""
+    enc = ref_loader.load_trellis(
+        "trellis.models.structured_latent_vae.encoder")
+
+    tm = _randomize(
+        enc.SLatEncoder(
+            resolution=16, in_channels=6, model_channels=32,
+            latent_channels=4, num_blocks=2, num_heads=4, attn_mode="swin",
+            window_size=4,
+        ), seed=31, scale=0.1,
+    ).eval()
+
+    coords, feats = _slat_sparse_input(n=9, res=16, c=6, seed=32)
+    tx = _trellis_sparse(coords, feats)
+    with torch.no_grad():
+        t_z, t_mean, t_logvar = tm(tx, sample_posterior=False,
+                                   return_raw=True)
+
+    from gvfdiffusion_tpu.models.trellis.slat_decoders import SLatEncoder
+    from gvfdiffusion_tpu.sparse.tensor import from_lists
+
+    mine = SLatEncoder(resolution=16, in_channels=6, model_channels=32,
+                       latent_channels=4, num_blocks=2, num_heads=4,
+                       attn_mode="swin", window_size=4)
+    params = jax.tree.map(jnp.asarray, wc.convert_slat_encoder(
+        {k: _np(v) for k, v in tm.state_dict().items()}, num_blocks=2,
+    ))
+    x = from_lists([coords], [feats], resolution=16, capacity=10)
+    _, m_mean, m_logvar = mine.apply(params, x, None, False)
+
+    m_coords = np.asarray(x.coords[0])
+    m_valid = np.asarray(x.valid[0])
+    _match_by_coords(np.asarray(tx.coords[:, 1:]), _np(t_mean), m_coords,
+                     m_valid, np.asarray(m_mean[0]), "slat enc mean")
+    _match_by_coords(np.asarray(tx.coords[:, 1:]), _np(t_logvar), m_coords,
+                     m_valid, np.asarray(m_logvar[0]), "slat enc logvar")

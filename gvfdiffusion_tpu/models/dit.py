@@ -49,6 +49,8 @@ class DiT(nn.Module):
     # number of leading blocks to rematerialize (gradient checkpointing);
     # static per-compile — the TPU-native equivalent of mem_ratio.
     remat_blocks: int = 0
+    # measurement-only component skips (see nn/transformer.py ablate)
+    ablate: tuple = ()
     dtype: jnp.dtype = jnp.float32
 
     def mem_ratio_to_remat_blocks(self, mem_ratio: float) -> int:
@@ -103,6 +105,7 @@ class DiT(nn.Module):
             share_mod=self.share_mod,
             no_temporal_attn=self.no_temporal_attn,
             temporal_layout=self.temporal_layout,
+            ablate=self.ablate,
             dtype=self.dtype,
         )
         if kv_only:

@@ -157,6 +157,7 @@ class MultiHeadAttention(nn.Module):
         context_kv=None,
         kv_only: bool = False,
         temporal_4d: bool = False,
+        attn_identity: bool = False,
     ) -> jnp.ndarray:
         """Cross-attention KV caching: conditioning tokens are constant across
         sampler steps, so their K/V projections are loop-invariant. Call with
@@ -182,12 +183,24 @@ class MultiHeadAttention(nn.Module):
             if self.qk_rms_norm:
                 q = MultiHeadRMSNorm(head_dim, self.num_heads, name="q_rms_norm")(q)
                 k = MultiHeadRMSNorm(head_dim, self.num_heads, name="k_rms_norm")(k)
-            s = jnp.einsum(
-                "btnhd,bsnhd->bnhts", q, k,
-                preferred_element_type=jnp.float32,
-            ) * (head_dim ** -0.5)
-            w = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-            o = jnp.einsum("bnhts,bsnhd->btnhd", w, v)
+            if attn_identity:  # measurement-only: projections without attention
+                o = v
+            else:
+                from ..ops import fused_attention as fa
+
+                scale = head_dim ** -0.5
+                if (_ATTN_IMPL == "fused" and _on_tpu()
+                        and fa.temporal_supports(q.shape)):
+                    # native-layout Pallas kernel: the XLA batched einsum
+                    # costs 68 ms/call at ~0.1% MFU (benchmarks/dit_profile)
+                    o = fa.temporal_attention(q, k, v, scale)
+                else:
+                    s = jnp.einsum(
+                        "btnhd,bsnhd->bnhts", q, k,
+                        preferred_element_type=jnp.float32,
+                    ) * scale
+                    w = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+                    o = jnp.einsum("bnhts,bsnhd->btnhd", w, v)
             return nn.Dense(self.channels, dtype=self.dtype, name="to_out")(
                 o.reshape(B, T, N, self.channels)
             )
@@ -236,6 +249,6 @@ class MultiHeadAttention(nn.Module):
                 if self.qk_rms_norm:
                     k = MultiHeadRMSNorm(head_dim, self.num_heads, name="k_rms_norm")(k)
 
-        h = scaled_dot_product_attention(q, k, v)
+        h = v if attn_identity else scaled_dot_product_attention(q, k, v)
         h = h.reshape(B, L, self.channels)
         return nn.Dense(self.channels, dtype=self.dtype, name="to_out")(h)

@@ -26,7 +26,14 @@ class FeedForwardNet(nn.Module):
         return nn.Dense(self.channels, dtype=self.dtype, name="mlp_2")(h)
 
 
-def _ln(name: str, affine: bool = False):
+def _ln(name: str, affine: bool = False, out_dtype=None):
+    """LayerNorm with fp32 statistics. out_dtype is ACCEPTED BUT IGNORED:
+    casting the LN output to bf16 was measured SLOWER on the v5e DiT step
+    (one 3B call 298.6 -> 316.5 ms, benchmarks/dit_profile.py) — the
+    explicit cast breaks XLA's LN->modulate->matmul fusion and materializes
+    an extra intermediate, costing more than the halved elementwise traffic
+    saves. XLA already keeps the fp32 chain fused."""
+    del out_dtype
     return nn.LayerNorm(
         epsilon=1e-6, use_bias=affine, use_scale=affine, name=name,
         # keep norm statistics in fp32 for bf16 activations
@@ -61,6 +68,13 @@ class ModulatedTransformerCrossBlock(nn.Module):
     # "transpose": [B,T,N,C]->[B*N,T,C] relayout + standard attention;
     # "einsum": transpose-free batched einsum over axis T (same params)
     temporal_layout: str = "transpose"
+    # measurement-only: component names to skip entirely ("spatial",
+    # "temporal", "img_cross", "static_cross", "mlp") or "temporal_attn"
+    # (keep the temporal qkv/out projections, identity attention) — used by
+    # benchmarks/dit_profile.py for whole-program cost deltas. NEVER set in
+    # real configs; parameters stay identical so compiled-variant timings
+    # are directly comparable.
+    ablate: tuple = ()
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -79,16 +93,21 @@ class ModulatedTransformerCrossBlock(nn.Module):
 
         if kv_only:
             # loop-invariant cross-attention KV for the sampling loop
-            img_kv = MultiHeadAttention(
-                C, self.num_heads, ctx_channels=C, attn_type="cross",
-                qkv_bias=self.qkv_bias, qk_rms_norm=self.qk_rms_norm_cross,
-                dtype=self.dtype, name="image_cross_attn",
-            )(None, cond_images.reshape(-1, cond_images.shape[2], C), kv_only=True)
-            static_kv = MultiHeadAttention(
-                C, self.num_heads, ctx_channels=C, attn_type="cross",
-                qkv_bias=self.qkv_bias, qk_rms_norm=self.qk_rms_norm_cross,
-                dtype=self.dtype, name="static_cross_attn",
-            )(None, static_latent.reshape(-1, static_latent.shape[2], C), kv_only=True)
+            img_kv = static_kv = None
+            if "img_cross" not in self.ablate:
+                img_kv = MultiHeadAttention(
+                    C, self.num_heads, ctx_channels=C, attn_type="cross",
+                    qkv_bias=self.qkv_bias, qk_rms_norm=self.qk_rms_norm_cross,
+                    dtype=self.dtype, name="image_cross_attn",
+                )(None, cond_images.reshape(-1, cond_images.shape[2], C),
+                  kv_only=True)
+            if "static_cross" not in self.ablate:
+                static_kv = MultiHeadAttention(
+                    C, self.num_heads, ctx_channels=C, attn_type="cross",
+                    qkv_bias=self.qkv_bias, qk_rms_norm=self.qk_rms_norm_cross,
+                    dtype=self.dtype, name="static_cross_attn",
+                )(None, static_latent.reshape(-1, static_latent.shape[2], C),
+                  kv_only=True)
             return img_kv, static_kv
 
         if self.share_mod:
@@ -115,65 +134,71 @@ class ModulatedTransformerCrossBlock(nn.Module):
         B, T, N, _ = x.shape
 
         # spatial self attention (over N, batched across B*T)
-        h = _ln("norm1")(x)
-        h = modulate(h, sh_s, sc_s)
-        h = MultiHeadAttention(
-            C, self.num_heads, attn_type="self", qkv_bias=self.qkv_bias,
-            use_rope=self.use_rope, qk_rms_norm=self.qk_rms_norm,
-            dtype=self.dtype, name="spatial_self_attn",
-        )(h.reshape(B * T, N, C), indices=indices).reshape(B, T, N, C)
-        x = x + h * g_s[:, None, None, :]
+        if "spatial" not in self.ablate:
+            h = _ln("norm1", out_dtype=self.dtype)(x)
+            h = modulate(h, sh_s, sc_s)
+            h = MultiHeadAttention(
+                C, self.num_heads, attn_type="self", qkv_bias=self.qkv_bias,
+                use_rope=self.use_rope, qk_rms_norm=self.qk_rms_norm,
+                dtype=self.dtype, name="spatial_self_attn",
+            )(h.reshape(B * T, N, C), indices=indices).reshape(B, T, N, C)
+            x = x + h * g_s[:, None, None, :]
 
         # temporal self attention (over T, batched across B*N)
-        if not self.no_temporal_attn:
-            h = _ln("norm2")(x)
+        if not self.no_temporal_attn and "temporal" not in self.ablate:
+            h = _ln("norm2", out_dtype=self.dtype)(x)
             h = modulate(h, sh_t, sc_t)
             attn = MultiHeadAttention(
                 C, self.num_heads, attn_type="self", qkv_bias=self.qkv_bias,
                 use_rope=self.use_rope, qk_rms_norm=self.qk_rms_norm,
                 dtype=self.dtype, name="temporal_self_attn",
             )
+            identity = "temporal_attn" in self.ablate
             if self.temporal_layout == "einsum" and not self.use_rope:
-                h = attn(h, temporal_4d=True)
+                h = attn(h, temporal_4d=True, attn_identity=identity)
             else:
-                h = attn(h.transpose(0, 2, 1, 3).reshape(B * N, T, C))
+                h = attn(h.transpose(0, 2, 1, 3).reshape(B * N, T, C),
+                         attn_identity=identity)
                 h = h.reshape(B, N, T, C).transpose(0, 2, 1, 3)
             x = x + h * g_t[:, None, None, :]
 
         # image cross attention (un-gated, affine pre-norm — reference :263-266)
         img_kv, static_kv = cross_kv if cross_kv is not None else (None, None)
-        h = _ln("norm3", affine=True)(x)
-        h = MultiHeadAttention(
-            C, self.num_heads, ctx_channels=C, attn_type="cross",
-            qkv_bias=self.qkv_bias, qk_rms_norm=self.qk_rms_norm_cross,
-            dtype=self.dtype, name="image_cross_attn",
-        )(
-            h.reshape(B * T, N, C),
-            cond_images.reshape(B * T, cond_images.shape[2], C)
-            if img_kv is None else None,
-            context_kv=img_kv,
-        ).reshape(B, T, N, C)
-        x = x + h
+        if "img_cross" not in self.ablate:
+            h = _ln("norm3", affine=True, out_dtype=self.dtype)(x)
+            h = MultiHeadAttention(
+                C, self.num_heads, ctx_channels=C, attn_type="cross",
+                qkv_bias=self.qkv_bias, qk_rms_norm=self.qk_rms_norm_cross,
+                dtype=self.dtype, name="image_cross_attn",
+            )(
+                h.reshape(B * T, N, C),
+                cond_images.reshape(B * T, cond_images.shape[2], C)
+                if img_kv is None else None,
+                context_kv=img_kv,
+            ).reshape(B, T, N, C)
+            x = x + h
 
         # static-GS cross attention
-        h = _ln("norm4", affine=True)(x)
-        h = MultiHeadAttention(
-            C, self.num_heads, ctx_channels=C, attn_type="cross",
-            qkv_bias=self.qkv_bias, qk_rms_norm=self.qk_rms_norm_cross,
-            dtype=self.dtype, name="static_cross_attn",
-        )(
-            h.reshape(B * T, N, C),
-            static_latent.reshape(B * T, static_latent.shape[2], C)
-            if static_kv is None else None,
-            context_kv=static_kv,
-        ).reshape(B, T, N, C)
-        x = x + h
+        if "static_cross" not in self.ablate:
+            h = _ln("norm4", affine=True, out_dtype=self.dtype)(x)
+            h = MultiHeadAttention(
+                C, self.num_heads, ctx_channels=C, attn_type="cross",
+                qkv_bias=self.qkv_bias, qk_rms_norm=self.qk_rms_norm_cross,
+                dtype=self.dtype, name="static_cross_attn",
+            )(
+                h.reshape(B * T, N, C),
+                static_latent.reshape(B * T, static_latent.shape[2], C)
+                if static_kv is None else None,
+                context_kv=static_kv,
+            ).reshape(B, T, N, C)
+            x = x + h
 
         # MLP
-        h = _ln("norm5")(x)
-        h = modulate(h, sh_m, sc_m)
-        h = FeedForwardNet(C, self.mlp_ratio, dtype=self.dtype, name="mlp")(h)
-        x = x + h * g_m[:, None, None, :]
+        if "mlp" not in self.ablate:
+            h = _ln("norm5", out_dtype=self.dtype)(x)
+            h = modulate(h, sh_m, sc_m)
+            h = FeedForwardNet(C, self.mlp_ratio, dtype=self.dtype, name="mlp")(h)
+            x = x + h * g_m[:, None, None, :]
         return x
 
 
@@ -211,7 +236,7 @@ class ModulatedCrossBlock(nn.Module):
             chunks = jnp.split(m, 6, axis=-1)
         sh_a, sc_a, g_a, sh_m, sc_m, g_m = chunks
 
-        h = _ln("norm1")(x)
+        h = _ln("norm1", out_dtype=self.dtype)(x)
         h = h * (1 + sc_a[:, None, :]) + sh_a[:, None, :]
         h = MultiHeadAttention(
             C, self.num_heads, attn_type="self", qkv_bias=self.qkv_bias,
@@ -220,7 +245,7 @@ class ModulatedCrossBlock(nn.Module):
         )(h, indices=indices)
         x = x + h * g_a[:, None, :]
 
-        h = _ln("norm2", affine=True)(x)
+        h = _ln("norm2", affine=True, out_dtype=self.dtype)(x)
         h = MultiHeadAttention(
             C, self.num_heads, ctx_channels=context.shape[-1], attn_type="cross",
             qkv_bias=self.qkv_bias, qk_rms_norm=self.qk_rms_norm_cross,
@@ -228,7 +253,7 @@ class ModulatedCrossBlock(nn.Module):
         )(h, context)
         x = x + h
 
-        h = _ln("norm3")(x)
+        h = _ln("norm3", out_dtype=self.dtype)(x)
         h = h * (1 + sc_m[:, None, :]) + sh_m[:, None, :]
         h = FeedForwardNet(C, self.mlp_ratio, dtype=self.dtype, name="mlp")(h)
         x = x + h * g_m[:, None, :]

@@ -190,3 +190,129 @@ def supports(q_shape, k_shape) -> bool:
         and D % 8 == 0
         and (H * D) % _LANES == 0
     )
+
+
+# -- temporal attention kernel ------------------------------------------------
+#
+# The DiT temporal branch attends over T=32 frames for each of B*N*H
+# (3*512*16 = 24.6k) tiny sequences. As an XLA batched einsum the
+# [32,32]x[32,32] matmul instances use ~1/16 of an MXU tile each and the
+# operands need [B,N,H,T,D] relayouts — measured 68 ms per DiT call
+# (benchmarks/dit_profile.py), ~0.1% MFU for 0.05 TFLOP of math.
+#
+# This kernel keeps the NATIVE [B, T, N, C] layout (no transposes at all)
+# and packs NC=8 voxels into the matmul M/N dimensions (NC=8 satisfies the
+# Pallas block-shape rule: second-to-last block dim divisible by 8): per
+# grid cell (b, group of NC voxels) the [T*NC, C] q/k tiles give, per head,
+# a [256, 32] x [256, 32]^T = [256, 256] MXU op whose cross-voxel quadrant
+# garbage is masked before the (exp2, shift-free) softmax; AV is a second
+# [256,256]x[256,32] op. 16 heads loop serially but each iteration is a
+# full-width MXU op — vs 16 sixteenth-width ops in the einsum form.
+
+_TEMPORAL_NC = 8
+
+
+def _temporal_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                     head_dim: int, compute_dtype):
+    # refs [1, T, NC, C]; rows flatten to (t, n)
+    _, T, NC, C = q_ref.shape
+    R = T * NC
+    q = q_ref[0].reshape(R, C)
+    k = k_ref[0].reshape(R, C)
+    v = v_ref[0].reshape(R, C)
+    r = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    same_n = (r % NC) == (c % NC)
+    for h in range(C // head_dim):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh = q[:, sl].astype(compute_dtype)
+        kh = k[:, sl].astype(compute_dtype)
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, R]
+        s = s * (scale * _LOG2E) - _SHIFT
+        s = jnp.where(same_n, s, -jnp.inf)
+        p = jnp.exp2(s)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(compute_dtype), v[:, sl].astype(compute_dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # [R, head_dim]
+        o_ref[0, :, :, sl] = (o / denom).reshape(T, NC, head_dim).astype(
+            o_ref.dtype)
+
+
+def _temporal_attention_impl(q, k, v, scale: float,
+                             compute_dtype=jnp.bfloat16,
+                             interpret: bool = False):
+    """q, k, v: [B, T, N, H, D] -> [B, T, N, H, D]; attention over axis T
+    independently per (b, n, h)."""
+    B, T, N, H, D = q.shape
+    C = H * D
+    nc = _TEMPORAL_NC
+    q = q.reshape(B, T, N, C)
+    k = k.reshape(B, T, N, C)
+    v = v.reshape(B, T, N, C)
+    kernel = functools.partial(
+        _temporal_kernel, scale=scale, head_dim=D,
+        compute_dtype=compute_dtype,
+    )
+    spec = pl.BlockSpec((1, T, nc, C), lambda b, g: (b, 0, g, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, N // nc),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, N, C), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * H * N * T * T * D * nc,
+            bytes_accessed=4 * B * T * N * C * q.dtype.itemsize,
+            transcendentals=B * H * N * T * T * nc,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return out.reshape(B, T, N, H, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def temporal_attention(q, k, v, scale: float, compute_dtype=jnp.bfloat16,
+                       interpret: bool = False):
+    """Per-(b,n,h) attention over T in native [B, T, N, H, D] layout."""
+    return _temporal_attention_impl(q, k, v, scale, compute_dtype, interpret)
+
+
+def _temporal_fwd(q, k, v, scale, compute_dtype, interpret):
+    return _temporal_attention_impl(q, k, v, scale, compute_dtype,
+                                    interpret), (q, k, v)
+
+
+def _temporal_bwd(scale, compute_dtype, interpret, res, g):
+    # training path: standard XLA einsum gradient (the kernel is the
+    # inference win; backward keeps pre-kernel numerics)
+    q, k, v = res
+    s = jnp.einsum("btnhd,bsnhd->bnhts", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bnhts,btnhd->bsnhd", p.astype(g.dtype), g)
+    dp = jnp.einsum("btnhd,bsnhd->bnhts", g, v,
+                    preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+    dq = jnp.einsum("bnhts,bsnhd->btnhd", ds.astype(q.dtype), k)
+    dk = jnp.einsum("bnhts,btnhd->bsnhd", ds.astype(k.dtype), q)
+    return dq, dk, dv
+
+
+temporal_attention.defvjp(_temporal_fwd, _temporal_bwd)
+
+
+def temporal_supports(q_shape) -> bool:
+    B, T, N, H, D = q_shape
+    return (
+        T * _TEMPORAL_NC % 8 == 0
+        and N % _TEMPORAL_NC == 0
+        and (H * D) % _LANES == 0
+        and D % 8 == 0
+        and T * _TEMPORAL_NC <= 1024  # S tile [R, R] fp32 in VMEM
+    )

@@ -112,3 +112,53 @@ def test_dispatch_packs_small_self_attention():
                                 jnp.float32, True, T)
     np.testing.assert_allclose(np.asarray(packed.reshape(B, T, H, D)),
                                np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def _rand4(shape, seed):
+    return jnp.asarray(
+        np.random.default_rng(seed).normal(size=shape).astype(np.float32))
+
+
+def test_temporal_kernel_matches_einsum():
+    """temporal_attention (interpret mode) vs the batched-einsum reference:
+    per-(b,n,h) attention over T in native [B,T,N,H,D] layout."""
+    B, T, N, H, D = 2, 8, 8, 4, 32
+    q = _rand4((B, T, N, H, D), 40)
+    k = _rand4((B, T, N, H, D), 41)
+    v = _rand4((B, T, N, H, D), 42)
+    scale = D ** -0.5
+    s = jnp.einsum("btnhd,bsnhd->bnhts", q, k) * scale
+    w = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum("bnhts,bsnhd->btnhd", w, v)
+    got = fa.temporal_attention(q, k, v, scale, jnp.float32, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_temporal_kernel_vjp_matches_einsum_grad():
+    B, T, N, H, D = 1, 8, 8, 4, 32
+    q = _rand4((B, T, N, H, D), 43)
+    k = _rand4((B, T, N, H, D), 44)
+    v = _rand4((B, T, N, H, D), 45)
+    scale = D ** -0.5
+
+    def ref_fn(q, k, v):
+        s = jnp.einsum("btnhd,bsnhd->bnhts", q, k) * scale
+        w = jax.nn.softmax(s, axis=-1)
+        return jnp.sum(jnp.einsum("bnhts,bsnhd->btnhd", w, v) ** 2)
+
+    def ker_fn(q, k, v):
+        return jnp.sum(
+            fa.temporal_attention(q, k, v, scale, jnp.float32, True) ** 2)
+
+    g_ref = jax.grad(ref_fn, argnums=(0, 1, 2))(q, k, v)
+    g_ker = jax.grad(ker_fn, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ker, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-5)
+
+
+def test_temporal_supports_predicate():
+    assert fa.temporal_supports((1, 32, 512, 16, 32))
+    assert not fa.temporal_supports((1, 32, 510, 16, 32))  # N % NC != 0
+    assert not fa.temporal_supports((1, 32, 512, 3, 32))   # lanes % 128

@@ -59,10 +59,14 @@ def _head_block(num_heads: int, head_dim: int) -> int:
     return num_heads  # lanes == H*D (full-array block; always legal)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
                  head_dim: int, compute_dtype, segment_size: int = 0):
-    # refs: q/o [1, Lq, hb*D]; k/v [1, Lk_pad, hb*D] — heads packed in lanes
+    # refs: q/o [1, Lq, hb*D]; k/v [1, Lk_pad, hb*D] — heads packed in lanes;
+    # bias [1, Lk_pad] = _SHIFT on valid columns, +inf on kv padding — the
+    # column mask rides the scale epilogue as ONE fused multiply-subtract
+    # pass (exp2(-inf) == 0) instead of a separate iota+where pass over S.
     nh = q_ref.shape[2] // head_dim
+    bias = bias_ref[0, :]
     for h in range(nh):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         q = q_ref[0, :, sl].astype(compute_dtype)
@@ -71,7 +75,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [Lq, Lk_pad]
-        s = s * (scale * _LOG2E) - _SHIFT
+        s = s * (scale * _LOG2E) - bias[None, :]
         if segment_size:
             # block-diagonal mask: sequence-packed independent segments
             # (e.g. 16 temporal rows of T=32 packed into one 512 sequence)
@@ -79,15 +83,19 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(row // segment_size == col // segment_size,
                           s, -jnp.inf)
-        if kv_len < k.shape[0]:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < kv_len, s, -jnp.inf)
         p = jnp.exp2(s).astype(compute_dtype)
-        denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        # softmax denominator on the MXU: a ones-column appended to V lands
+        # the row-sum of P in lane D of the AV product — the output tile pads
+        # 32->128 lanes anyway, so the extra column is free and the VPU
+        # [Lq, Lk] reduction pass disappears.
+        v_aug = jnp.concatenate(
+            [v, jnp.ones((v.shape[0], 1), compute_dtype)], axis=1
+        )
         o = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [Lq, D]
-        o_ref[0, :, sl] = (o / denom).astype(o_ref.dtype)
+            p, v_aug, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Lq, D+1]
+        o_ref[0, :, sl] = (o[:, :head_dim] / o[:, head_dim:]).astype(o_ref.dtype)
 
 
 def _fused_attention_fwd_impl(
@@ -113,8 +121,10 @@ def _fused_attention_fwd_impl(
 
     hb = _head_block(H, D)
     lanes = hb * D
+    bias = jnp.where(jnp.arange(lk_pad) < Lk, _SHIFT, jnp.inf)[None, :]
+    bias = bias.astype(jnp.float32)
     kernel = functools.partial(
-        _attn_kernel, scale=scale, kv_len=Lk, head_dim=D,
+        _attn_kernel, scale=scale, head_dim=D,
         compute_dtype=compute_dtype, segment_size=segment_size,
     )
     out = pl.pallas_call(
@@ -127,6 +137,8 @@ def _fused_attention_fwd_impl(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lk_pad, lanes), lambda b, g: (b, 0, g),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad), lambda b, g: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, Lq, lanes), lambda b, g: (b, 0, g),
                                memory_space=pltpu.VMEM),
@@ -137,7 +149,7 @@ def _fused_attention_fwd_impl(
             transcendentals=B * H * Lq * lk_pad,
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(q, k, v, bias)
     return out.reshape(B, Lq, H, D)
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 
 from ..ops.rasterize.binning import bin_gaussians
@@ -88,6 +89,17 @@ class GaussianRenderer:
             )
             return self._downsample(out, opt.ssaa)
 
+        xyz, scaling, rotation, colors, opac0 = self._activate(
+            gs, delta, detach_static, override_color
+        )
+        out = self._render_activated(
+            xyz, scaling, rotation, colors, opac0, cam, bg, valid
+        )
+        return self._downsample(out, opt.ssaa)
+
+    @staticmethod
+    def _activate(gs, delta, detach_static, override_color):
+        """Camera-independent attribute activation (shared across views)."""
         if delta is not None:
             attrs = gs.apply_variation(delta, detach_static=detach_static)
             xyz, scaling, rotation = attrs["xyz"], attrs["scaling"], attrs["rotation"]
@@ -95,17 +107,22 @@ class GaussianRenderer:
         else:
             xyz, scaling, rotation = gs.get_xyz, gs.get_scaling, gs.get_rotation
             features, opacity = gs.get_features, gs.get_opacity
+        colors = (
+            rgb_from_sh_dc(features[..., 0, :])
+            if override_color is None else override_color
+        )
+        return xyz, scaling, rotation, colors, opacity[..., 0]
 
+    def _render_activated(self, xyz, scaling, rotation, colors, opac0, cam,
+                          bg, valid):
+        """Per-camera projection + binning + blend on activated attributes."""
+        opt = self.options
         proj = rr.project_gaussians(
             xyz, scaling, rotation, cam,
             kernel_size_2d=opt.kernel_size_2d if opt.use_mip else 0.3,
             mip=opt.use_mip,
         )
-        colors = (
-            rgb_from_sh_dc(features[..., 0, :])
-            if override_color is None else override_color
-        )
-        opac = opacity[..., 0] * proj["compensation"]
+        opac = opac0 * proj["compensation"]
         v = proj["in_front"]
         if valid is not None:
             v = jnp.logical_and(v, valid)
@@ -124,8 +141,55 @@ class GaussianRenderer:
                 max_per_tile=opt.max_per_tile,
             )
             rgb, dep, acc = blend_tiles(binned, cam.height, cam.width, bg)
-        return self._downsample(
-            {"render": rgb, "depth": dep, "alpha": acc}, opt.ssaa
+        return {"render": rgb, "depth": dep, "alpha": acc}
+
+    def render_views(
+        self,
+        gs: GaussianSplat,
+        world_views: jnp.ndarray,   # [V, 4, 4] w2c per view
+        intrinsics: jnp.ndarray,    # [V, 3, 3] (or [3, 3] shared)
+        height: int,
+        width: int,
+        delta: Optional[jnp.ndarray] = None,
+        detach_static: bool = False,
+        valid: Optional[jnp.ndarray] = None,
+        override_color: Optional[jnp.ndarray] = None,
+        bg_color: Optional[jnp.ndarray] = None,
+        chunk: int = 8,
+    ) -> Dict[str, jnp.ndarray]:
+        """Batched multi-view render: ONE program maps projection + binning +
+        blend over V cameras while the delta application + color activation
+        run once and are shared. The reference sweeps views with one CUDA
+        render call each (utils/inference_utils.py:209-306); on TPU a batched
+        program amortizes the per-dispatch floor (~25 ms on the tunneled
+        backend) and the per-view work stays identical. `chunk` bounds the
+        per-step memory of the lax.map over views."""
+        opt = self.options
+        V = world_views.shape[0]
+        if intrinsics.ndim == 2:
+            intrinsics = jnp.broadcast_to(intrinsics, (V, 3, 3))
+        cam0 = Camera(
+            world_view=world_views[0], intrinsics=intrinsics[0],
+            height=height * opt.ssaa, width=width * opt.ssaa,
+            near=opt.near, far=opt.far,
+        )
+        bg = jnp.asarray(
+            bg_color if bg_color is not None else opt.bg_color, jnp.float32
+        )
+        xyz, scaling, rotation, colors, opac0 = self._activate(
+            gs, delta, detach_static, override_color
+        )
+
+        def one(wv_intr):
+            wv, intr = wv_intr
+            cam = cam0.replace(world_view=wv, intrinsics=intr)
+            out = self._render_activated(
+                xyz, scaling, rotation, colors, opac0, cam, bg, valid
+            )
+            return self._downsample(out, opt.ssaa)
+
+        return jax.lax.map(
+            one, (world_views, intrinsics), batch_size=min(chunk, V)
         )
 
     @staticmethod

@@ -54,16 +54,28 @@ def align_gaussian_to_canonical(
     coarse_res: int = 128,
     refine: int = 2,
     coarse_subset: Optional[int] = 65536,
+    coarse_step: int = 5,
 ) -> Tuple[GaussianSplat, float, float]:
     """Find the azimuth (and alpha-bbox scale) aligning the generated GS to
     the video's canonical frame. Returns (aligned_gs, best_angle_rad, scale).
 
-    Coarse-to-fine: the 360-candidate sweep (reference inference_utils.py:52,
-    1-degree grid) is scored at `coarse_res` (blend cost scales with pixels,
-    ~16x cheaper at 128 vs 512), then the best +-`refine` neighbours are
-    re-scored at full target resolution. Exact for any scoring function
-    whose coarse argmin lands within `refine` grid steps of the full-res
-    argmin; set coarse_res >= target res to disable.
+    TPU-first design vs the reference's 360 sequential CUDA renders
+    (inference_utils.py:37-177, 1-degree grid):
+
+      - Rotating the splats by theta equals rendering with the camera's
+        world-view post-multiplied by Rz(theta), so every candidate is the
+        SAME gaussian set viewed through a batched camera stack — one
+        render_views program whose activation work is shared and whose
+        angle axis is vmapped (no per-angle quaternion updates).
+      - Hierarchical sweep: `coarse_step`-degree grid at `coarse_res`, then
+        the 1-degree neighbourhood (+-coarse_step) still coarse, then the
+        best +-`refine` at full target resolution. Exact whenever each
+        stage's argmin lands within the next stage's neighbourhood — L1 vs
+        a 128px target varies smoothly over 5 degrees (validated on the
+        test scenes; set coarse_step=1 / coarse_res>=res to fall back to
+        the exhaustive sweep).
+      - Coarse stages score a top-`coarse_subset`-opacity subset: per-angle
+        cost is projecting every gaussian, which resolution cannot reduce.
     """
     h, w = target_image.shape[:2]
     renderer = renderer or GaussianRenderer(RenderOptions(
@@ -71,55 +83,70 @@ def align_gaussian_to_canonical(
         backend="binned", max_per_tile=128,
     ))
     angles = jnp.linspace(0.0, 2 * jnp.pi, n_angles, endpoint=False)
+    cam0 = orbit_camera(0.0, 0.0, height=h, width=w, **(camera_kwargs or {}))
 
-    def score_at(angles_sub, res_h, res_w, tgt, collect_alpha):
-        cam = orbit_camera(
-            0.0, 0.0, height=res_h, width=res_w, **(camera_kwargs or {})
+    def rot_z(a):
+        c, s = jnp.cos(a), jnp.sin(a)
+        z, o = jnp.zeros_like(c), jnp.ones_like(c)
+        return jnp.stack([
+            jnp.stack([c, -s, z, z], -1),
+            jnp.stack([s, c, z, z], -1),
+            jnp.stack([z, z, o, z], -1),
+            jnp.stack([z, z, z, o], -1),
+        ], -2)  # [..., 4, 4]
+
+    def score_at(g, vld, angles_sub, res_h, res_w, tgt, collect_alpha):
+        wvs = jnp.einsum("ij,ajk->aik", cam0.world_view, rot_z(angles_sub))
+        out = renderer.render_views(
+            g, wvs, cam0.intrinsics, res_h, res_w, valid=vld, chunk=8,
         )
-
-        def render_at(angle):
-            g = rotate_gaussians_z(gs, angle)
-            out = renderer.render(g, cam, valid=valid)
-            return out["render"], out["alpha"]
-
-        renders, alphas = jax.lax.map(render_at, angles_sub, batch_size=8)
+        renders = out["render"]
         l1 = jnp.mean(jnp.abs(renders - tgt[None]), axis=(1, 2, 3))
         score = l1
         if clip_score_fn is not None:
             sim = jnp.asarray(clip_score_fn(np.asarray(renders)))
             score = l1 + clip_weight * (1.0 - sim)
-        return score, (alphas if collect_alpha else None)
+        return score, (out["alpha"] if collect_alpha else None)
+
+    # most-opaque subset for the coarse stages
+    gs_c, valid_c = gs, valid
+    if coarse_subset is not None and gs._xyz.shape[0] > coarse_subset:
+        opa = gs.get_opacity[..., 0]
+        if valid is not None:
+            opa = jnp.where(valid, opa, -jnp.inf)
+        _, top = jax.lax.top_k(opa, coarse_subset)
+        gs_c = gs.replace(
+            _xyz=gs._xyz[top], _features_dc=gs._features_dc[top],
+            _scaling=gs._scaling[top], _rotation=gs._rotation[top],
+            _opacity=gs._opacity[top],
+        )
+        valid_c = valid[top] if valid is not None else None
 
     two_stage = coarse_res < min(h, w)
     if two_stage:
         ch = max(coarse_res, 1)
         cw = max(int(round(coarse_res * w / h)), 1)
         tgt_c = jax.image.resize(target_image, (ch, cw, 3), "bilinear")
-        # coarse scoring over a most-opaque subset: per-angle cost is
-        # dominated by rotating + projecting EVERY gaussian (~1M after the
-        # SLat decode), which resolution cannot reduce
-        gs_all, valid_all = gs, valid
-        if (coarse_subset is not None
-                and gs._xyz.shape[0] > coarse_subset):
-            opa = gs.get_opacity[..., 0]
-            if valid is not None:
-                opa = jnp.where(valid, opa, -jnp.inf)
-            _, top = jax.lax.top_k(opa, coarse_subset)
-            gs = gs.replace(
-                _xyz=gs._xyz[top], _features_dc=gs._features_dc[top],
-                _scaling=gs._scaling[top], _rotation=gs._rotation[top],
-                _opacity=gs._opacity[top],
-            )
-            valid = valid[top] if valid is not None else None
-        coarse_score, _ = score_at(angles, ch, cw, tgt_c, False)
-        gs, valid = gs_all, valid_all
-        c_best = int(jnp.argmin(coarse_score))
+        step = max(int(coarse_step), 1)
+        # stage A: coarse angle grid at coarse res
+        idx_a = np.arange(0, n_angles, step)
+        score_a, _ = score_at(gs_c, valid_c, angles[jnp.asarray(idx_a)],
+                              ch, cw, tgt_c, False)
+        a_best = int(idx_a[int(jnp.argmin(score_a))])
+        # stage B: 1-degree neighbourhood, still coarse res
+        if step > 1:
+            idx_b = (np.arange(-(step - 1), step) + a_best) % n_angles
+            score_b, _ = score_at(gs_c, valid_c, angles[jnp.asarray(idx_b)],
+                                  ch, cw, tgt_c, False)
+            c_best = int(idx_b[int(jnp.argmin(score_b))])
+        else:
+            c_best = a_best
         idx = (np.arange(-refine, refine + 1) + c_best) % n_angles
         cand = angles[jnp.asarray(idx)]
     else:
         cand = angles
         idx = np.arange(n_angles)
-    fine_score, alphas = score_at(cand, h, w, target_image, True)
+    fine_score, alphas = score_at(gs, valid, cand, h, w, target_image, True)
     best_local = int(jnp.argmin(fine_score))
     best = int(idx[best_local])
     best_angle = float(angles[best])
@@ -162,30 +189,36 @@ def render_sweep(
     pitch_deg: float = 20.0,
     radius: float = 2.0,
 ) -> np.ndarray:
-    """T x V orbit renders (reference render_and_save_images :209-306)."""
+    """T x V orbit renders (reference render_and_save_images :209-306).
+
+    TPU-first: each frame t runs ONE batched program over all V views
+    (GaussianRenderer.render_views) — the delta application + activation are
+    shared across views and the per-dispatch floor is paid once per frame,
+    not once per (t, v) render like the reference's CUDA loop."""
     T = 1 if deltas is None else deltas.shape[0]
     cams = [
         orbit_camera(360.0 * v / num_views, pitch_deg, radius=radius,
                      height=resolution, width=resolution)
         for v in range(num_views)
     ]
-    render = jax.jit(
-        lambda d, wv, intr: renderer.render(
-            gs, cams[0].replace(world_view=wv, intrinsics=intr),
-            delta=d, valid=valid,
+    wvs = jnp.stack([c.world_view for c in cams])
+    intr = cams[0].intrinsics
+
+    @jax.jit
+    def render_t(d):
+        return renderer.render_views(
+            gs, wvs, intr, resolution, resolution, delta=d, valid=valid,
         )["render"]
-    )
-    zero_delta = None if deltas is None else deltas[0] * 0
+
+    render_static = jax.jit(lambda: renderer.render_views(
+        gs, wvs, intr, resolution, resolution, valid=valid,
+    )["render"])
     out = np.zeros((T, num_views, resolution, resolution, 3), np.float32)
     for t in range(T):
-        d = None if deltas is None else deltas[t]
-        for v, cam in enumerate(cams):
-            if deltas is None:
-                out[t, v] = np.asarray(
-                    renderer.render(gs, cam, valid=valid)["render"]
-                )
-            else:
-                out[t, v] = np.asarray(render(d, cam.world_view, cam.intrinsics))
+        if deltas is None:
+            out[t] = np.asarray(render_static())
+        else:
+            out[t] = np.asarray(render_t(deltas[t]))
     return out
 
 

@@ -120,6 +120,11 @@ class MotionVAE(nn.Module):
         return self.dim // self.heads
 
     def setup(self):
+        if self.dim % 6 != 0:
+            # PointEmbed emits 6*(dim//6) channels which are summed with the
+            # dim-wide input embedding (reference asserts hidden_dim % 3 == 0,
+            # model/autoencoder.py:254; the exact-width constraint is % 6).
+            raise ValueError(f"MotionVAE dim must be divisible by 6, got {self.dim}")
         init = nn.initializers.truncated_normal(0.02)
         d = dict(dtype=self.dtype)
         self.input_embedding = nn.Dense(self.dim, kernel_init=init, name="input_embedding", **d)

@@ -51,6 +51,31 @@ def make_optimizer(
     return tx
 
 
+def freeze_subtrees(
+    tx: optax.GradientTransformation, params, prefixes: tuple
+) -> optax.GradientTransformation:
+    """Zero updates for top-level param subtrees whose name starts with any
+    prefix (the reference's requires_grad_(False) encoder freeze,
+    sparse_transformer_vae.py:147-149). Frozen params also drop out of the
+    clip/adamw state inside tx via the multi_transform partition.
+    """
+
+    def label_tree(tree):
+        return {
+            k: jax.tree.map(
+                lambda _: "frozen" if any(k.startswith(p) for p in prefixes)
+                else "train",
+                v,
+            )
+            for k, v in tree.items()
+        }
+
+    labels = {k: label_tree(v) for k, v in params.items()}
+    return optax.multi_transform(
+        {"train": tx, "frozen": optax.set_to_zero()}, labels
+    )
+
+
 def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
     return TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -69,6 +69,8 @@ class StaticVAEConfig:
     attn_mode: str = "swin"
     norm_output: bool = True
     remat_blocks: int = 0
+    # padded active-voxel capacity for the sparse batches this VAE consumes
+    voxel_capacity: int = 32768
 
 
 @dataclasses.dataclass
@@ -89,6 +91,11 @@ class TrainConfig:
     sample_timesteps: int = 24
     mem_ratio: float = 1.0
     seed: int = 0
+    # torch static-VAE checkpoint to initialize from (reference
+    # main_vae.py:31-47): out_layer is dropped on shape mismatch and the
+    # encoder is frozen unless finetune_encoder is set.
+    static_vae_init: str = ""
+    finetune_encoder: bool = False
 
 
 @dataclasses.dataclass

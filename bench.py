@@ -17,7 +17,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline = (10 s end-to-end target from BASELINE.md) / measured.
 Per-stage latencies go to stderr and into the JSON's "stages" field.
 
-Set GVF_BENCH=denoise to run only the denoise bench.
+Set GVF_BENCH=denoise to run only the denoise bench; GVF_BENCH=full widens
+the e2e scope to BASELINE config #4 (adds MODNet matting + spiral MP4 encode,
+reference scripts/run_in_the_wild.sh:14-39).
 """
 
 import json
@@ -147,8 +149,14 @@ def _free(*arrays):
                 leaf.delete()
 
 
-def bench_e2e():
-    """BASELINE config #1 at reference shapes, random weights."""
+def bench_e2e(full_pipeline: bool = False):
+    """BASELINE config #1 at reference shapes, random weights.
+
+    full_pipeline=True (GVF_BENCH=full) widens scope to BASELINE config #4
+    (the run_in_the_wild.sh loop, reference scripts/run_in_the_wild.sh:14-39):
+    MODNet video matting before the encode, and the spiral-timeline MP4
+    encode of the final sweep at the end.
+    """
     from gvfdiffusion_tpu.diffusion.flow_euler import (
         FlowEulerCfgSampler, FlowEulerGuidanceIntervalSampler,
     )
@@ -172,6 +180,18 @@ def bench_e2e():
     RENDER_FRAMES = 24     # final render sweep
     L_VOX = 16384          # SLat active-voxel budget at 64^3
     G = L_VOX * 8          # gaussians (8 per voxel, slat decoder)
+
+    # ---- stage 0 (full pipeline only): MODNet matting over the video ------
+    if full_pipeline:
+        from gvfdiffusion_tpu.models.modnet import MODNet
+
+        modnet = MODNet(dtype=dtype)
+        vid512 = jnp.asarray(rng.standard_normal((T_FRAMES, 512, 512, 3)), dtype)
+        mparams = modnet.init(key, vid512[:1])
+        mod_apply = jax.jit(lambda p, f: modnet.apply(p, f))
+        stages["modnet_matting"] = _time_stage(
+            "modnet_matting", mod_apply, mparams, vid512)
+        _free(mparams, vid512)
 
     # ---- stage 1: DINOv2 ViT-L/14 over the 32-frame video ----------------
     dino = DinoV2(dtype=dtype)
@@ -330,6 +350,26 @@ def bench_e2e():
     render_j = jax.jit(render_sweep)
     stages["render_24f"] = _time_stage("render_24f", render_j, deltas_24)
 
+    # ---- stage 10 (full pipeline only): spiral-timeline MP4 encode --------
+    if full_pipeline:
+        import tempfile
+
+        from gvfdiffusion_tpu.utils.inference_utils import (
+            create_spiral_timeline_video,
+        )
+
+        # [T, V, H, W, 3] spiral grid: reuse the sweep frames as 4 views
+        sweep = np.asarray(render_j(deltas_24))
+        grid = sweep.reshape(RENDER_FRAMES // 4, 4, *sweep.shape[1:])
+
+        def encode_video():
+            with tempfile.TemporaryDirectory() as d:
+                create_spiral_timeline_video(grid, os.path.join(d, "spiral.mp4"))
+            return jnp.zeros(())  # _sync target; work is host-side
+
+        stages["spiral_video_encode"] = _time_stage(
+            "spiral_video_encode", encode_video, iters=1)
+
     total = sum(stages.values())
     return total, {k: round(v, 4) for k, v in stages.items()}
 
@@ -346,9 +386,10 @@ def main():
         }))
         return
     try:
-        total, stages = bench_e2e()
+        total, stages = bench_e2e(full_pipeline=(mode == "full"))
         print(json.dumps({
-            "metric": "e2e_video_to_4d_latency_b1",
+            "metric": "full_in_the_wild_latency_b1" if mode == "full"
+            else "e2e_video_to_4d_latency_b1",
             "value": round(total, 4),
             "unit": "s",
             "vs_baseline": round(10.0 / total, 3),

@@ -94,6 +94,10 @@ class ModulatedSparseCrossBlock(nn.Module):
     qk_rms_norm: bool = False
     qk_rms_norm_cross: bool = False
     share_mod: bool = False
+    # measurement-only whole-program ablation (benchmarks/slat_profile.py):
+    # any of {"self", "cross", "mlp"} skips that sub-layer so its cost can be
+    # attributed by delta against the full program. Not for real inference.
+    ablate: tuple = ()
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -110,26 +114,29 @@ class ModulatedSparseCrossBlock(nn.Module):
             chunks = jnp.split(m, 6, axis=-1)
         sh_a, sc_a, g_a, sh_m, sc_m, g_m = chunks
 
-        h = SparseLayerNorm(affine=False, name="norm1")(x)
-        h = h.replace_feats(h.feats * (1 + sc_a[:, None]) + sh_a[:, None])
-        h = SparseMultiHeadAttention(
-            C, self.num_heads, attn_mode="full", qk_rms_norm=self.qk_rms_norm,
-            dtype=self.dtype, name="self_attn",
-        )(h)
-        x = x + h.feats * g_a[:, None]
+        if "self" not in self.ablate:
+            h = SparseLayerNorm(affine=False, name="norm1")(x)
+            h = h.replace_feats(h.feats * (1 + sc_a[:, None]) + sh_a[:, None])
+            h = SparseMultiHeadAttention(
+                C, self.num_heads, attn_mode="full", qk_rms_norm=self.qk_rms_norm,
+                dtype=self.dtype, name="self_attn",
+            )(h)
+            x = x + h.feats * g_a[:, None]
 
-        h = SparseLayerNorm(affine=True, name="norm2")(x)
-        h = SparseMultiHeadAttention(
-            C, self.num_heads, attn_type="cross",
-            qk_rms_norm=self.qk_rms_norm_cross, dtype=self.dtype,
-            name="cross_attn",
-        )(h, context)
-        x = x + h.feats
+        if "cross" not in self.ablate:
+            h = SparseLayerNorm(affine=True, name="norm2")(x)
+            h = SparseMultiHeadAttention(
+                C, self.num_heads, attn_type="cross",
+                qk_rms_norm=self.qk_rms_norm_cross, dtype=self.dtype,
+                name="cross_attn",
+            )(h, context)
+            x = x + h.feats
 
-        h = SparseLayerNorm(affine=False, name="norm3")(x)
-        h = h.replace_feats(h.feats * (1 + sc_m[:, None]) + sh_m[:, None])
-        h = SparseFeedForward(C, self.mlp_ratio, dtype=self.dtype, name="mlp")(h)
-        x = x + h.feats * g_m[:, None]
+        if "mlp" not in self.ablate:
+            h = SparseLayerNorm(affine=False, name="norm3")(x)
+            h = h.replace_feats(h.feats * (1 + sc_m[:, None]) + sh_m[:, None])
+            h = SparseFeedForward(C, self.mlp_ratio, dtype=self.dtype, name="mlp")(h)
+            x = x + h.feats * g_m[:, None]
         return x
 
 
@@ -158,6 +165,11 @@ class SLatFlowModel(nn.Module):
     # downsample leaves ~1/8 of slots valid, and full attention pays
     # (capacity/valid)^2 on the padding. None = no compaction.
     torso_capacity: Optional[int] = None
+    # measurement-only (benchmarks/slat_profile.py): {"self","cross","mlp"}
+    # forward to every torso block; "torso" skips all torso blocks; "io"
+    # skips the non-resampling io res blocks (down/upsample blocks must stay
+    # for structure bookkeeping).
+    ablate: tuple = ()
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -181,10 +193,11 @@ class SLatFlowModel(nn.Module):
         bi = 0
         for chs, next_chs in zip(io_chs, io_chs[1:] + [C]):
             for _ in range(self.num_io_res_blocks - 1):
-                h, _ = SparseResBlock3d(
-                    chs, C, out_channels=chs, dtype=self.dtype,
-                    name=f"input_blocks_{bi}",
-                )(h, t_emb)
+                if "io" not in self.ablate:
+                    h, _ = SparseResBlock3d(
+                        chs, C, out_channels=chs, dtype=self.dtype,
+                        name=f"input_blocks_{bi}",
+                    )(h, t_emb)
                 skips.append(h.feats)
                 bi += 1
             h, ds = SparseResBlock3d(
@@ -207,13 +220,14 @@ class SLatFlowModel(nn.Module):
             h = h + pe * h.valid[..., None]
 
         RematBlock = nn.remat(ModulatedSparseCrossBlock)
-        for i in range(self.num_blocks):
+        for i in range(self.num_blocks if "torso" not in self.ablate else 0):
             Block = RematBlock if i < self.remat_blocks else ModulatedSparseCrossBlock
             h = Block(
                 channels=C, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 qk_rms_norm=self.qk_rms_norm,
                 qk_rms_norm_cross=self.qk_rms_norm_cross,
                 share_mod=self.share_mod, dtype=self.dtype, name=f"blocks_{i}",
+                ablate=tuple(a for a in self.ablate if a != "io"),
             )(h, mod, cond)
 
         if torso_template is not None:
@@ -236,14 +250,16 @@ class SLatFlowModel(nn.Module):
             )(h, t_emb, up_structure=structures.pop())
             bo += 1
             for _ in range(self.num_io_res_blocks - 1):
-                if self.use_skip_connection:
-                    h = h.replace(feats=jnp.concatenate([h.feats, rev_skips[si]], -1))
+                if "io" not in self.ablate:
+                    if self.use_skip_connection:
+                        h = h.replace(
+                            feats=jnp.concatenate([h.feats, rev_skips[si]], -1))
+                    h, _ = SparseResBlock3d(
+                        chs * 2 if self.use_skip_connection else chs,
+                        C, out_channels=chs, dtype=self.dtype,
+                        name=f"out_blocks_{bo}",
+                    )(h, t_emb)
                 si += 1
-                h, _ = SparseResBlock3d(
-                    chs * 2 if self.use_skip_connection else chs,
-                    C, out_channels=chs, dtype=self.dtype,
-                    name=f"out_blocks_{bo}",
-                )(h, t_emb)
                 bo += 1
 
         h = SparseLayerNorm(affine=False, name="out_norm")(h)

@@ -35,26 +35,44 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Shapes the single-block kernel accepts; beyond these the caller should use
-# the XLA path (or a future streaming variant). S fp32 bytes = Lq*Lk_pad*4.
-MAX_LQ = 2048
+# Lq beyond one VMEM-resident row block is gridded (see _lq_block); Lk is the
+# remaining single-block limit — the kernel holds the whole key extent per
+# instance. S fp32 bytes per instance = lq_blk*Lk_pad*4.
 MAX_LK = 4096
 _LANES = 128
 _LOG2E = 1.4426950408889634
 # exp2 argument shift; cancels in the softmax normalization. Safe for any
 # |scaled logit| <= ~90 in fp32 — far beyond trained-transformer logits.
 _SHIFT = 30.0
+# VMEM budget for the per-instance S (fp32) + P (bf16) score tiles. ~16 MB
+# per core total; leave room for double-buffered q/k/v/o blocks.
+_SCORE_BYTES = 8 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _lq_block(lq: int, lk_pad: int) -> int:
+    """Query rows per grid instance: largest power-of-two block <= 1024 whose
+    score tiles (S fp32 + P bf16 = 6 bytes/elem) fit the VMEM budget."""
+    blk = 1024
+    while blk > 8 and (blk * lk_pad * 6 > _SCORE_BYTES or blk > lq):
+        blk //= 2
+    return blk
+
+
 def _head_block(num_heads: int, head_dim: int) -> int:
     """Heads per grid instance: largest group whose lane width is a multiple
-    of 128 (or the full head set), capped to keep VMEM in budget."""
+    of 128 (or the full head set), capped at 256 lanes to bound the
+    double-buffered k/v block footprint at large Lk."""
     for hb in (8, 4, 2, 1):
-        if hb <= num_heads and num_heads % hb == 0 and (hb * head_dim) % _LANES == 0:
+        if (
+            hb <= num_heads
+            and num_heads % hb == 0
+            and (hb * head_dim) % _LANES == 0
+            and hb * head_dim <= 2 * _LANES
+        ):
             return hb
     return num_heads  # lanes == H*D (full-array block; always legal)
 
@@ -78,8 +96,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
         s = s * (scale * _LOG2E) - bias[None, :]
         if segment_size:
             # block-diagonal mask: sequence-packed independent segments
-            # (e.g. 16 temporal rows of T=32 packed into one 512 sequence)
-            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            # (e.g. 16 temporal rows of T=32 packed into one 512 sequence).
+            # Row indices are global: the Lq axis may be gridded into blocks.
+            row_off = pl.program_id(2) * q_ref.shape[1]
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + row_off
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(row // segment_size == col // segment_size,
                           s, -jnp.inf)
@@ -95,25 +115,36 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
             p, v_aug, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [Lq, D+1]
-        o_ref[0, :, sl] = (o[:, :head_dim] / o[:, head_dim:]).astype(o_ref.dtype)
+        # max() keeps fully-masked query rows finite (0/eps = 0) — the
+        # sparse callers' contract is garbage-but-finite on invalid rows.
+        denom = jnp.maximum(o[:, head_dim:], 1e-30)
+        o_ref[0, :, sl] = (o[:, :head_dim] / denom).astype(o_ref.dtype)
 
 
 def _fused_attention_fwd_impl(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     compute_dtype=jnp.bfloat16, interpret: bool = False,
-    segment_size: int = 0,
+    segment_size: int = 0, kv_bias: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """q [B, Lq, H, D]; k, v [B, Lk, H, D] -> [B, Lq, H, D].
 
     segment_size > 0: queries/keys are sequence-packed independent segments
     of that length (requires Lq == Lk and both multiples of segment_size);
-    attention is masked block-diagonal."""
+    attention is masked block-diagonal.
+
+    kv_bias [B, Lk] float: additive pre-softmax logit bias per key (0 keeps a
+    key, -inf masks it) — how ragged kv validity rides the kernel's fused
+    scale epilogue instead of a separate mask pass over S."""
     B, Lq, H, D = q.shape
     Lk = k.shape[1]
     lk_pad = _round_up(Lk, 128)
+    lq_blk = _lq_block(Lq, lk_pad)
+    lq_pad = _round_up(Lq, lq_blk)
     q = q.reshape(B, Lq, H * D)
     k = k.reshape(B, Lk, H * D)
     v = v.reshape(B, Lk, H * D)
+    if lq_pad != Lq:
+        q = jnp.pad(q, [(0, 0), (0, lq_pad - Lq), (0, 0)])
     if lk_pad != Lk:
         pad = [(0, 0), (0, lk_pad - Lk), (0, 0)]
         k = jnp.pad(k, pad)
@@ -121,28 +152,32 @@ def _fused_attention_fwd_impl(
 
     hb = _head_block(H, D)
     lanes = hb * D
-    bias = jnp.where(jnp.arange(lk_pad) < Lk, _SHIFT, jnp.inf)[None, :]
-    bias = bias.astype(jnp.float32)
+    col_pad = jnp.where(jnp.arange(lk_pad) < Lk, _SHIFT, jnp.inf)[None, :]
+    if kv_bias is not None:
+        col_pad = col_pad - jnp.pad(
+            kv_bias.astype(jnp.float32), [(0, 0), (0, lk_pad - Lk)]
+        ) * _LOG2E
+    bias = jnp.broadcast_to(col_pad, (B, lk_pad)).astype(jnp.float32)
     kernel = functools.partial(
         _attn_kernel, scale=scale, head_dim=D,
         compute_dtype=compute_dtype, segment_size=segment_size,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(B, H // hb),
+        grid=(B, H // hb, lq_pad // lq_blk),
         in_specs=[
-            pl.BlockSpec((1, Lq, lanes), lambda b, g: (b, 0, g),
+            pl.BlockSpec((1, lq_blk, lanes), lambda b, g, r: (b, r, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_pad, lanes), lambda b, g: (b, 0, g),
+            pl.BlockSpec((1, lk_pad, lanes), lambda b, g, r: (b, 0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_pad, lanes), lambda b, g: (b, 0, g),
+            pl.BlockSpec((1, lk_pad, lanes), lambda b, g, r: (b, 0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_pad), lambda b, g: (0, 0),
+            pl.BlockSpec((1, lk_pad), lambda b, g, r: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Lq, lanes), lambda b, g: (b, 0, g),
+        out_specs=pl.BlockSpec((1, lq_blk, lanes), lambda b, g, r: (b, r, g),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Lq, H * D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, lq_pad, H * D), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * H * Lq * Lk * D,
             bytes_accessed=(q.size + 2 * k.size + q.size) * q.dtype.itemsize,
@@ -150,29 +185,33 @@ def _fused_attention_fwd_impl(
         ),
         interpret=interpret,
     )(q, k, v, bias)
-    return out.reshape(B, Lq, H, D)
+    return out[:, :Lq].reshape(B, Lq, H, D)
+
+
+def _zero_bias(q, k):
+    return jnp.zeros((q.shape[0], k.shape[1]), jnp.float32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def fused_attention(q, k, v, scale: float, compute_dtype=jnp.bfloat16,
-                    interpret: bool = False, segment_size: int = 0):
-    """Softmax attention, [B, Lq, H, D] layout, fused on TPU via Pallas."""
+def _fused_attention_vjp(q, k, v, scale: float, compute_dtype,
+                         interpret: bool, segment_size: int, kv_bias):
     return _fused_attention_fwd_impl(q, k, v, scale, compute_dtype, interpret,
-                                     segment_size)
+                                     segment_size, kv_bias)
 
 
-def _fwd(q, k, v, scale, compute_dtype, interpret, segment_size):
+def _fwd(q, k, v, scale, compute_dtype, interpret, segment_size, kv_bias):
     out = _fused_attention_fwd_impl(q, k, v, scale, compute_dtype, interpret,
-                                    segment_size)
-    return out, (q, k, v)
+                                    segment_size, kv_bias)
+    return out, (q, k, v, kv_bias)
 
 
 def _bwd(scale, compute_dtype, interpret, segment_size, res, g):
     # standard attention gradient, XLA einsums in fp32 (training path keeps
     # the pre-kernel numerics; the fwd kernel is the inference win)
-    q, k, v = res
+    q, k, v, kv_bias = res
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                    preferred_element_type=jnp.float32) * scale
+    s = s + kv_bias[:, None, None, :]
     if segment_size:
         row = jnp.arange(s.shape[-2])[:, None]
         col = jnp.arange(s.shape[-1])[None]
@@ -181,22 +220,36 @@ def _bwd(scale, compute_dtype, interpret, segment_size, res, g):
     dv = jnp.einsum("bhqk,bqhd->bkhd", p.astype(g.dtype), g)
     dp = jnp.einsum("bqhd,bkhd->bhqk", g, v, preferred_element_type=jnp.float32)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dbias = jnp.sum(ds, axis=(1, 2)).astype(kv_bias.dtype)
     ds = ds * scale
     dq = jnp.einsum("bhqk,bkhd->bqhd", ds.astype(q.dtype), k)
     dk = jnp.einsum("bhqk,bqhd->bkhd", ds.astype(k.dtype), q)
-    return dq, dk, dv
+    return dq, dk, dv, dbias
 
 
-fused_attention.defvjp(_fwd, _bwd)
+_fused_attention_vjp.defvjp(_fwd, _bwd)
+
+
+def fused_attention(q, k, v, scale: float, compute_dtype=jnp.bfloat16,
+                    interpret: bool = False, segment_size: int = 0,
+                    kv_bias=None):
+    """Softmax attention, [B, Lq, H, D] layout, fused on TPU via Pallas.
+
+    kv_bias [B, Lk] float (optional): additive pre-softmax logit bias per
+    key; -inf masks a key (ragged kv validity)."""
+    if kv_bias is None:
+        kv_bias = _zero_bias(q, k)
+    return _fused_attention_vjp(q, k, v, scale, compute_dtype, interpret,
+                                segment_size, kv_bias)
 
 
 def supports(q_shape, k_shape) -> bool:
-    """Static check: does the single-block kernel cover these shapes?"""
+    """Static check: does the (Lq-gridded, whole-Lk) kernel cover these?"""
     _, Lq, H, D = q_shape
     Lk = k_shape[1]
     return (
         Lq % 8 == 0
-        and 128 <= Lq <= MAX_LQ  # tiny L (e.g. temporal T=32): grid overhead
+        and Lq >= 128  # tiny L (e.g. temporal T=32): grid overhead
         and 128 <= Lk <= MAX_LK  # dwarfs the work — XLA path wins there
         and D <= 128
         and D % 8 == 0

@@ -43,9 +43,13 @@ def _masked_attention(q, k, v, mask):
 
 
 # Above this many score-matrix elements per (batch, head), the XLA masked
-# path's materialized [Lq, Lk] logits dominate HBM traffic; switch to the
-# streaming flash kernel. 4k x 4k fp32 logits = 64 MB/head — well past the
-# crossover. Module-level so tests/benches can force either path.
+# path's materialized [Lq, Lk] logits dominate HBM traffic; switch to a
+# fused kernel. Module-level so tests/benches can force either path.
+# FUSED_SCORE_ELEMENTS gates the whole-Lk row-blocked kernel (covers the
+# SLat torso: 4096x1370 cross was 135 ms/call of XLA-masked score traffic);
+# FLASH_SCORE_ELEMENTS gates the streaming flash fallback when the fused
+# kernel's Lk limit is exceeded.
+FUSED_SCORE_ELEMENTS = 1024 * 1024
 FLASH_SCORE_ELEMENTS = 4096 * 4096
 _FORCE_FLASH: Optional[bool] = None  # True/False overrides the heuristic
 
@@ -91,16 +95,23 @@ def _flash_full_attention(q, k, v, q_valid, kv_valid):
 def full_sparse_attention(q, k, v, q_valid, kv_valid):
     """q [B, Lq, H, D], k/v [B, Lk, H, D]; per-sample full attention over
     valid tokens (the reference's varlen-packed full attention,
-    sparse/attention/full_attn.py:90). Large-L dispatches to a streaming
-    flash kernel so the score matrix never hits HBM."""
+    sparse/attention/full_attn.py:90).
+
+    Dispatch: the fused whole-Lk kernel (ops/fused_attention.py, kv validity
+    as a logit-bias row) when Lk fits its VMEM budget — measured fastest at
+    the SLat torso shapes (Lq=4096, Lk<=4096, D=64); the streaming flash
+    kernel beyond that; the masked XLA path off-TPU / at small L."""
     lq, lk = q.shape[1], k.shape[1]
     use_flash = _FORCE_FLASH
-    if use_flash is None:
-        use_flash = (
-            jax.default_backend() == "tpu"
-            and lq * lk >= FLASH_SCORE_ELEMENTS
-            and q.shape[-1] % 8 == 0
-        )
+    if use_flash is None and jax.default_backend() == "tpu":
+        from ..ops import fused_attention as fa
+
+        if fa.supports(q.shape, k.shape) and lq * lk >= FUSED_SCORE_ELEMENTS:
+            kv_bias = jnp.where(kv_valid, 0.0, -jnp.inf).astype(jnp.float32)
+            return fa.fused_attention(
+                q, k, v, q.shape[-1] ** -0.5, kv_bias=kv_bias
+            )
+        use_flash = lq * lk >= FLASH_SCORE_ELEMENTS and q.shape[-1] % 8 == 0
     if use_flash:
         return _flash_full_attention(q, k, v, q_valid, kv_valid)
     mask = q_valid[:, None, :, None] & kv_valid[:, None, None, :]  # [B,1,Lq,Lk]

@@ -52,8 +52,79 @@ def test_fused_vjp_matches_xla_grad():
 
 def test_supports_predicate():
     assert fa.supports((3, 512, 16, 32), (3, 1370, 16, 32))
+    assert fa.supports((2, 4096, 16, 64), (2, 1370, 16, 64))  # SLat cross
+    assert fa.supports((2, 4096, 16, 64), (2, 4096, 16, 64))  # SLat self
     assert not fa.supports((3, 513, 16, 32), (3, 64, 16, 32))  # Lq % 8
     assert not fa.supports((3, 512, 16, 32), (3, 8192, 16, 32))  # Lk too big
+
+
+def test_gridded_lq_matches_xla():
+    """Lq above one row block: the Lq grid axis + output un-pad must
+    reproduce single-block results ( _lq_block(2048, 128) == 1024 -> 2 row
+    blocks; lq=1032 additionally exercises the Lq padding)."""
+    B, H, D = 1, 4, 32
+    for lq in (2048, 1032):
+        q = _rand((B, lq, H, D), 50)
+        k = _rand((B, 128, H, D), 51)
+        v = _rand((B, 128, H, D), 52)
+        ref = jax.nn.dot_product_attention(q, k, v)
+        out = fa.fused_attention(q, k, v, D**-0.5, jnp.float32, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_kv_bias_matches_masked_xla():
+    """kv_bias as ragged-validity mask: -inf columns drop keys exactly like
+    a boolean kv mask on the XLA path."""
+    B, H, D, LQ, LK = 2, 4, 32, 64, 100
+    q = _rand((B, LQ, H, D), 60)
+    k = _rand((B, LK, H, D), 61)
+    v = _rand((B, LK, H, D), 62)
+    valid = jax.random.uniform(jax.random.PRNGKey(63), (B, LK)) > 0.3
+    valid = valid.at[:, 0].set(True)
+    mask = valid[:, None, None, :]
+    ref = jax.nn.dot_product_attention(q, k, v, mask=mask)
+    bias = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)
+    out = fa.fused_attention(q, k, v, D**-0.5, jnp.float32, True,
+                             kv_bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_kv_bias_fully_masked_row_is_finite():
+    B, H, D, LQ, LK = 1, 2, 32, 32, 64
+    q = _rand((B, LQ, H, D), 64)
+    k = _rand((B, LK, H, D), 65)
+    v = _rand((B, LK, H, D), 66)
+    bias = jnp.full((B, LK), -jnp.inf, jnp.float32)
+    out = fa.fused_attention(q, k, v, D**-0.5, jnp.float32, True,
+                             kv_bias=bias)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_kv_bias_vjp_matches_masked_grad():
+    B, H, D, LQ, LK = 1, 2, 16, 32, 48
+    q = _rand((B, LQ, H, D), 70)
+    k = _rand((B, LK, H, D), 71)
+    v = _rand((B, LK, H, D), 72)
+    valid = jax.random.uniform(jax.random.PRNGKey(73), (B, LK)) > 0.4
+    valid = valid.at[:, 0].set(True)
+    bias = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fa.fused_attention(
+            q, k, v, D**-0.5, jnp.float32, True, kv_bias=bias) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jax.nn.dot_product_attention(
+            q, k, v, mask=valid[:, None, None, :]) ** 2)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_f, g_r, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4, err_msg=name
+        )
 
 
 def test_segment_packed_matches_per_row():

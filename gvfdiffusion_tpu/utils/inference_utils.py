@@ -41,6 +41,30 @@ def rotate_gaussians_z(gs: GaussianSplat, angle_rad: float | jnp.ndarray) -> Gau
     return gs.replace(_xyz=raw, _rotation=new_q)
 
 
+# jitted score programs keyed by (render options, V, res) — alignment calls
+# score_at with a handful of distinct shapes, and re-tracing the 3 lax.map
+# render programs on every call measured ~3x the device time on the
+# tunneled backend (align_debug: stage A 736 ms eager vs 154 ms jitted).
+_SCORE_CACHE: dict = {}
+
+
+def _score_program(renderer: GaussianRenderer, n_views: int, res_h: int,
+                   res_w: int, chunk: int = 8):
+    key = (renderer.options, n_views, res_h, res_w, chunk)
+    fn = _SCORE_CACHE.get(key)
+    if fn is None:
+        @jax.jit
+        def fn(gs, valid, wvs, intr, tgt):
+            out = renderer.render_views(
+                gs, wvs, intr, res_h, res_w, valid=valid, chunk=chunk
+            )
+            l1 = jnp.mean(jnp.abs(out["render"] - tgt[None]), axis=(1, 2, 3))
+            return l1, out["render"], out["alpha"]
+
+        _SCORE_CACHE[key] = fn
+    return fn
+
+
 def align_gaussian_to_canonical(
     gs: GaussianSplat,
     target_image: jnp.ndarray,      # [H, W, 3] canonical video frame (white bg)
@@ -97,16 +121,15 @@ def align_gaussian_to_canonical(
 
     def score_at(g, vld, angles_sub, res_h, res_w, tgt, collect_alpha):
         wvs = jnp.einsum("ij,ajk->aik", cam0.world_view, rot_z(angles_sub))
-        out = renderer.render_views(
-            g, wvs, cam0.intrinsics, res_h, res_w, valid=vld, chunk=8,
-        )
-        renders = out["render"]
-        l1 = jnp.mean(jnp.abs(renders - tgt[None]), axis=(1, 2, 3))
+        prog = _score_program(renderer, int(angles_sub.shape[0]), res_h, res_w)
+        intr = jnp.broadcast_to(
+            cam0.intrinsics, (wvs.shape[0], 3, 3))
+        l1, renders, alphas = prog(g, vld, wvs, intr, tgt)
         score = l1
         if clip_score_fn is not None:
             sim = jnp.asarray(clip_score_fn(np.asarray(renders)))
             score = l1 + clip_weight * (1.0 - sim)
-        return score, (out["alpha"] if collect_alpha else None)
+        return score, (alphas if collect_alpha else None)
 
     # most-opaque subset for the coarse stages
     gs_c, valid_c = gs, valid

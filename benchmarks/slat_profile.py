@@ -72,6 +72,9 @@ VARIANTS = [
     ("no-mlp", ("mlp",)),
     ("no-torso", ("torso",)),
     ("no-io", ("io",)),
+    ("no-down-conv", ("down_conv",)),
+    ("no-up-conv", ("up_conv",)),
+    ("no-pe", ("pe",)),
 ]
 
 

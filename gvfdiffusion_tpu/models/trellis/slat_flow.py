@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import List, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ...nn.embedders import AbsolutePositionEmbedder, TimestepEmbedder
@@ -37,6 +38,15 @@ class SparseResBlock3d(nn.Module):
     out_channels: Optional[int] = None
     downsample: bool = False
     upsample: bool = False
+    # downsample blocks only: compact the parent set to this padded capacity
+    # BEFORE the conv body. A 2x downsample leaves ~1/8 of slots valid, and
+    # both this block's convs and the downstream torso otherwise pay for the
+    # dead padding. The child->parent map is remapped into compacted slots so
+    # the paired upsample gathers work unchanged.
+    compact_to: Optional[int] = None
+    # measurement-only (benchmarks/slat_profile.py): skip the conv body,
+    # keeping resampling + the channel-matching skip projection
+    ablate_conv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -52,14 +62,43 @@ class SparseResBlock3d(nn.Module):
         down_struct = None
 
         if self.downsample:
+            from ...sparse.ops import sparse_compact
+
             template = x
             res = sparse_downsample(x, 2)
             x = res.parents
-            down_struct = (template, res.child_to_parent)
+            c2p = res.child_to_parent
+            if self.compact_to is not None and self.compact_to < x.capacity:
+                x, slots = sparse_compact(x, self.compact_to)
+                # old->new parent slot map; children of truncated parents
+                # (capacity overflow) fall back to -1 like invalid children
+                b, l = c2p.shape[0], template.capacity
+                nc = slots.shape[1]
+
+                def inv_b(slots_b):
+                    idx = jnp.where(slots_b >= 0, slots_b, l)
+                    return jnp.full((l,), -1, jnp.int32).at[idx].set(
+                        jnp.arange(nc, dtype=jnp.int32), mode="drop"
+                    )
+
+                inv = jax.vmap(inv_b)(slots)
+                c2p = jnp.where(
+                    c2p >= 0,
+                    jnp.take_along_axis(inv, jnp.maximum(c2p, 0), axis=1),
+                    -1,
+                )
+            down_struct = (template, c2p)
         elif self.upsample:
             assert up_structure is not None, "upsample needs the paired structure"
             child_template, c2p = up_structure
             x = sparse_upsample(x, child_template, c2p)
+
+        if self.channels != out_ch:
+            skip = SparseLinear(out_ch, dtype=self.dtype, name="skip_connection")(x)
+        else:
+            skip = x
+        if self.ablate_conv:
+            return skip, down_struct
 
         emb_out = nn.Dense(
             2 * out_ch, dtype=self.dtype, name="emb_layers",
@@ -76,10 +115,6 @@ class SparseResBlock3d(nn.Module):
             out_ch, 3, kernel_init=nn.initializers.zeros, dtype=self.dtype,
             name="conv2",
         )(h)
-        if self.channels != out_ch:
-            skip = SparseLinear(out_ch, dtype=self.dtype, name="skip_connection")(x)
-        else:
-            skip = x
         out = h + skip.feats
         return out, down_struct
 
@@ -168,7 +203,8 @@ class SLatFlowModel(nn.Module):
     # measurement-only (benchmarks/slat_profile.py): {"self","cross","mlp"}
     # forward to every torso block; "torso" skips all torso blocks; "io"
     # skips the non-resampling io res blocks (down/upsample blocks must stay
-    # for structure bookkeeping).
+    # for structure bookkeeping); "down_conv"/"up_conv" skip the conv bodies
+    # of the resampling blocks; "pe" skips the position embedding.
     ablate: tuple = ()
     dtype: jnp.dtype = jnp.float32
 
@@ -202,6 +238,12 @@ class SLatFlowModel(nn.Module):
                 bi += 1
             h, ds = SparseResBlock3d(
                 chs, C, out_channels=next_chs, downsample=True, dtype=self.dtype,
+                # compact at the last (deepest) downsample so both its conv
+                # body and the torso run at torso_capacity, not the input
+                # padding (the old post-loop compaction paid full-capacity
+                # 1024-ch convs first)
+                compact_to=self.torso_capacity if next_chs == C else None,
+                ablate_conv="down_conv" in self.ablate,
                 name=f"input_blocks_{bi}",
             )(h, t_emb)
             structures.append(ds)
@@ -213,7 +255,7 @@ class SLatFlowModel(nn.Module):
             torso_template = h
             h, torso_slots = sparse_compact(h, self.torso_capacity)
 
-        if self.pe_mode == "ape":
+        if self.pe_mode == "ape" and "pe" not in self.ablate:
             pe = AbsolutePositionEmbedder(C, name="pos_embedder")(
                 h.coords.astype(jnp.float32)
             )
@@ -246,6 +288,7 @@ class SLatFlowModel(nn.Module):
             h, _ = SparseResBlock3d(
                 prev_chs * 2 if self.use_skip_connection else prev_chs,
                 C, out_channels=chs, upsample=True, dtype=self.dtype,
+                ablate_conv="up_conv" in self.ablate,
                 name=f"out_blocks_{bo}",
             )(h, t_emb, up_structure=structures.pop())
             bo += 1

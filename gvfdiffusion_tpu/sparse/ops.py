@@ -153,10 +153,13 @@ def sparse_upsample(
     parents: SparseVoxels, child_template: SparseVoxels, child_to_parent: jnp.ndarray
 ) -> SparseVoxels:
     """Nearest-neighbor unpool back onto the cached child structure
-    (reference sparse/spatial.py:59-82 uses the cached downsample idx)."""
+    (reference sparse/spatial.py:59-82 uses the cached downsample idx).
+    Children with child_to_parent < 0 (invalid, or parent dropped by a
+    capacity-bounded compaction) produce zeros."""
     idx = jnp.maximum(child_to_parent, 0)
     f = jnp.take_along_axis(parents.feats, idx[..., None], axis=1)
-    f = f * child_template.valid[..., None].astype(f.dtype)
+    keep = jnp.logical_and(child_template.valid, child_to_parent >= 0)
+    f = f * keep[..., None].astype(f.dtype)
     return child_template.replace(feats=f)
 
 

@@ -53,9 +53,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# benchmark overrides (benchmarks/attn_kernel_bench.py): None = heuristic
+_FORCE_LQ_BLK: int | None = None
+_FORCE_HEAD_BLK: int | None = None
+# measure-only: exponentiate in bf16 (halves the softmax VPU passes; ~1%
+# relative softmax error — not for parity paths)
+_EXP_BF16 = False
+
+
 def _lq_block(lq: int, lk_pad: int) -> int:
     """Query rows per grid instance: largest power-of-two block <= 1024 whose
     score tiles (S fp32 + P bf16 = 6 bytes/elem) fit the VMEM budget."""
+    if _FORCE_LQ_BLK is not None:
+        return min(_FORCE_LQ_BLK, lq)
     blk = 1024
     while blk > 8 and (blk * lk_pad * 6 > _SCORE_BYTES or blk > lq):
         blk //= 2
@@ -66,6 +76,8 @@ def _head_block(num_heads: int, head_dim: int) -> int:
     """Heads per grid instance: largest group whose lane width is a multiple
     of 128 (or the full head set), capped at 256 lanes to bound the
     double-buffered k/v block footprint at large Lk."""
+    if _FORCE_HEAD_BLK is not None:
+        return _FORCE_HEAD_BLK
     for hb in (8, 4, 2, 1):
         if (
             hb <= num_heads
@@ -84,7 +96,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
     # column mask rides the scale epilogue as ONE fused multiply-subtract
     # pass (exp2(-inf) == 0) instead of a separate iota+where pass over S.
     nh = q_ref.shape[2] // head_dim
-    bias = bias_ref[0, :]
+    bias = bias_ref[0, 0, :]
     for h in range(nh):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         q = q_ref[0, :, sl].astype(compute_dtype)
@@ -103,7 +115,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(row // segment_size == col // segment_size,
                           s, -jnp.inf)
-        p = jnp.exp2(s).astype(compute_dtype)
+        if _EXP_BF16:
+            p = jnp.exp2(s.astype(jnp.bfloat16))
+        else:
+            p = jnp.exp2(s).astype(compute_dtype)
         # softmax denominator on the MXU: a ones-column appended to V lands
         # the row-sum of P in lane D of the AV product — the output tile pads
         # 32->128 lanes anyway, so the extra column is free and the VPU
@@ -157,7 +172,10 @@ def _fused_attention_fwd_impl(
         col_pad = col_pad - jnp.pad(
             kv_bias.astype(jnp.float32), [(0, 0), (0, lk_pad - Lk)]
         ) * _LOG2E
+    # [B, 1, lk_pad]: the trailing (1, lk_pad) block exactly matches the
+    # array's last two dims (Pallas requires 8/128-divisible OR full-extent)
     bias = jnp.broadcast_to(col_pad, (B, lk_pad)).astype(jnp.float32)
+    bias = bias[:, None, :]
     kernel = functools.partial(
         _attn_kernel, scale=scale, head_dim=D,
         compute_dtype=compute_dtype, segment_size=segment_size,
@@ -172,7 +190,7 @@ def _fused_attention_fwd_impl(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lk_pad, lanes), lambda b, g, r: (b, 0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_pad), lambda b, g, r: (b, 0),
+            pl.BlockSpec((1, 1, lk_pad), lambda b, g, r: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, lq_blk, lanes), lambda b, g, r: (b, r, g),
@@ -244,12 +262,16 @@ def fused_attention(q, k, v, scale: float, compute_dtype=jnp.bfloat16,
 
 
 def supports(q_shape, k_shape) -> bool:
-    """Static check: does the (Lq-gridded, whole-Lk) kernel cover these?"""
+    """Static check: does the (Lq-gridded, whole-Lk) kernel cover these?
+    Ragged Lq is padded to the row-block internally and Lk padding is masked
+    via the bias row, so only the extents matter (e.g. DINOv2's L=1374
+    token sequence routes here; its old jax.nn.dot_product_attention
+    fallback materialized [B,H,L,L] fp32 logits — 3.9 GB at the 32-frame
+    video-encode shape)."""
     _, Lq, H, D = q_shape
     Lk = k_shape[1]
     return (
-        Lq % 8 == 0
-        and Lq >= 128  # tiny L (e.g. temporal T=32): grid overhead
+        Lq >= 128  # tiny L (e.g. temporal T=32): grid overhead
         and 128 <= Lk <= MAX_LK  # dwarfs the work — XLA path wins there
         and D <= 128
         and D % 8 == 0
@@ -274,7 +296,10 @@ def supports(q_shape, k_shape) -> bool:
 # [256,256]x[256,32] op. 16 heads loop serially but each iteration is a
 # full-width MXU op — vs 16 sixteenth-width ops in the einsum form.
 
-_TEMPORAL_NC = 8
+# voxels packed per grid cell: measured 3.35 ms (NC=8) vs 3.11 ms (NC=16)
+# per full-shape call on v5e (benchmarks/attn_tune_bench.py); NC=32 exceeds
+# scoped VMEM (S[1024,1024] fp32 + refs).
+_TEMPORAL_NC = 16
 
 
 def _temporal_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
@@ -316,6 +341,8 @@ def _temporal_attention_impl(q, k, v, scale: float,
     B, T, N, H, D = q.shape
     C = H * D
     nc = _TEMPORAL_NC
+    while N % nc:  # small N (tests/toy shapes): largest divisor <= default
+        nc //= 2
     q = q.reshape(B, T, N, C)
     k = k.reshape(B, T, N, C)
     v = v.reshape(B, T, N, C)
@@ -374,10 +401,13 @@ temporal_attention.defvjp(_temporal_fwd, _temporal_bwd)
 
 def temporal_supports(q_shape) -> bool:
     B, T, N, H, D = q_shape
+    nc = _TEMPORAL_NC
+    while nc and N % nc:
+        nc //= 2
     return (
-        T * _TEMPORAL_NC % 8 == 0
-        and N % _TEMPORAL_NC == 0
+        nc >= 1
+        and T * nc % 8 == 0
         and (H * D) % _LANES == 0
         and D % 8 == 0
-        and T * _TEMPORAL_NC <= 1024  # S tile [R, R] fp32 in VMEM
+        and T * nc <= 1024  # S tile [R, R] fp32 in VMEM
     )

@@ -54,8 +54,21 @@ def test_supports_predicate():
     assert fa.supports((3, 512, 16, 32), (3, 1370, 16, 32))
     assert fa.supports((2, 4096, 16, 64), (2, 1370, 16, 64))  # SLat cross
     assert fa.supports((2, 4096, 16, 64), (2, 4096, 16, 64))  # SLat self
-    assert not fa.supports((3, 513, 16, 32), (3, 64, 16, 32))  # Lq % 8
+    assert fa.supports((32, 1374, 16, 64), (32, 1374, 16, 64))  # DINOv2
+    assert not fa.supports((3, 64, 16, 32), (3, 512, 16, 32))  # Lq tiny
     assert not fa.supports((3, 512, 16, 32), (3, 8192, 16, 32))  # Lk too big
+
+
+def test_ragged_lq_matches_xla():
+    """Non-multiple-of-8 Lq (DINOv2's 1374-token shape, scaled down)."""
+    B, H, D = 1, 4, 32
+    q = _rand((B, 173, H, D), 53)
+    k = _rand((B, 173, H, D), 54)
+    v = _rand((B, 173, H, D), 55)
+    ref = jax.nn.dot_product_attention(q, k, v)
+    out = fa.fused_attention(q, k, v, D**-0.5, jnp.float32, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
 
 
 def test_gridded_lq_matches_xla():
@@ -231,5 +244,5 @@ def test_temporal_kernel_vjp_matches_einsum_grad():
 
 def test_temporal_supports_predicate():
     assert fa.temporal_supports((1, 32, 512, 16, 32))
-    assert not fa.temporal_supports((1, 32, 510, 16, 32))  # N % NC != 0
+    assert fa.temporal_supports((1, 32, 510, 16, 32))  # NC adapts (510 % 2)
     assert not fa.temporal_supports((1, 32, 512, 3, 32))   # lanes % 128

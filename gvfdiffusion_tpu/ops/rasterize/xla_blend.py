@@ -104,7 +104,7 @@ def blend_tiles_multiround(
     tile_chunk: int = 16,
 ):
     """Multi-round tile blending: each round selects the next `per_round`
-    front-most gaussians per tile (a depth cursor advances past blended work)
+    front-most gaussians per tile (rank window over depth-sorted columns)
     and composites them behind the accumulated transmittance. K_effective =
     per_round * rounds, so dense scenes converge to the CUDA rasterizer's
     blend-ALL-intersecting semantics without one giant top-k.
@@ -114,9 +114,15 @@ def blend_tiles_multiround(
     the chunk's pixels saturate (T < 1e-4) or its work-lists empty — the
     INFERENCE path, where opaque scenes finish in 1-2 rounds.
     """
+    from .binning import RankIndex, build_rank_index, depth_rank_order, rank_select
+
+    order = depth_rank_order(depths, valid)
+    mean2d, cov2d, colors = mean2d[order], cov2d[order], colors[order]
+    opacities, depths, valid = opacities[order], depths[order], valid[order]
     inter, conic, n_ty, n_tx = intersect_tiles(
         mean2d, cov2d, opacities, valid, height, width, tile
     )
+    ri = build_rank_index(inter)
     k = min(per_round, mean2d.shape[0])
 
     py_loc = jnp.repeat(jnp.arange(tile, dtype=jnp.float32), tile) + 0.5
@@ -124,14 +130,11 @@ def blend_tiles_multiround(
     ty = jnp.repeat(jnp.arange(n_ty) * tile, n_tx).astype(jnp.float32)
     tx = jnp.tile(jnp.arange(n_tx) * tile, (n_ty,)).astype(jnp.float32)
 
-    def round_body(state, inter_t, oy, ox):
-        # one tile: cursor (d [], i []), trans [P], rgb [P,3], dep [P]
-        (cur_d, cur_i), trans, rgb, dep = state
-        idx, mask, cur_d, cur_i = select_front(
-            inter_t[None], depths, cur_d[None], cur_i[None], k
-        )
+    def round_body(state, ri_t, oy, ox):
+        # one tile: round counter r [], trans [P], rgb [P,3], dep [P]
+        r, trans, rgb, dep = state
+        idx, mask = rank_select(ri_t, (r * k)[None], k)
         idx, mask = idx[0], mask[0]
-        cursor = (cur_d[0], cur_i[0])
         take = lambda a: jnp.take(a, idx, axis=0)  # [k, ...]
         m2d, con = take(mean2d), take(conic)
         col, opa = take(colors), jnp.where(mask, take(opacities), 0.0)
@@ -152,43 +155,36 @@ def blend_tiles_multiround(
         rgb = rgb + w @ col
         dep = dep + w @ dth
         trans = trans * jnp.prod(1.0 - alpha, axis=-1)
-        return cursor, trans, rgb, dep
+        return r + 1, trans, rgb, dep
 
     def one_tile(args):
         # vmapped by lax.map(batch_size=...); under vmap the while_loop
         # continues until every tile in the chunk is done — per-chunk early
         # exit, finer-grained than a global round count.
-        inter_t, oy, ox = args  # [N], [], []
+        ic_t, ccum_t, oy, ox = args  # [C, W], [C], [], []
+        ri_t = RankIndex(ic=ic_t[None], ccum=ccum_t[None], n=ri.n)
         p = tile * tile
         init = (
-            (jnp.asarray(-jnp.inf), jnp.asarray(-1)),
+            jnp.asarray(0, jnp.int32),
             jnp.ones((p,)),
             jnp.zeros((p, 3)),
             jnp.zeros((p,)),
         )
         if early_exit:
-            def cond(carry):
-                r, ((cur_d, cur_i), trans, _, _) = carry
+            def cond(state):
+                r, trans, _, _ = state
                 live = jnp.any(trans > _T_EPS)
-                ids = jnp.arange(depths.shape[0])
-                more = jnp.any(
-                    inter_t
-                    & ((depths > cur_d) | ((depths == cur_d) & (ids > cur_i)))
-                )
+                more = ccum_t[-1] > r * k  # intersecting work remains
                 return (r < rounds) & live & more
 
-            def body(carry):
-                r, state = carry
-                return r + 1, round_body(state, inter_t, oy, ox)
-
-            _, (cursor, trans, rgb, dep) = jax.lax.while_loop(
-                cond, body, (0, init)
+            (_, trans, rgb, dep) = jax.lax.while_loop(
+                cond, lambda s: round_body(s, ri_t, oy, ox), init
             )
         else:
             def body(state, _):
-                return round_body(state, inter_t, oy, ox), None
+                return round_body(state, ri_t, oy, ox), None
 
-            (cursor, trans, rgb, dep), _ = jax.lax.scan(
+            (_, trans, rgb, dep), _ = jax.lax.scan(
                 body, init, None, length=rounds
             )
         acc = 1.0 - trans
@@ -196,6 +192,6 @@ def blend_tiles_multiround(
         return rgb, dep, acc
 
     rgb, dep, acc = jax.lax.map(
-        one_tile, (inter, ty, tx), batch_size=tile_chunk
+        one_tile, (ri.ic, ri.ccum, ty, tx), batch_size=tile_chunk
     )
     return _stitch_all(rgb, dep, acc, n_ty, n_tx, tile, height, width)

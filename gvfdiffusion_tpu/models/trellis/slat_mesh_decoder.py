@@ -40,6 +40,11 @@ class SLatMeshDecoder(nn.Module):
     # reference's learned extraction weights, flexicubes.py); returns a
     # 4-tuple (sdf, deform, alpha, res) instead of 3
     use_flexi_weights: bool = False
+    # predict the full 21 per-cube FlexiCubes weights (beta 12 + alpha 8 +
+    # gamma 1, reference cube2mesh.py:80-92 layout) for
+    # ops/flexicubes.flexicubes_dense; returns (sdf, deform, weights, res).
+    # Mutually exclusive with use_flexi_weights.
+    flexicubes_weights: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -63,15 +68,18 @@ class SLatMeshDecoder(nn.Module):
             h = SparseLinear(self.model_channels // 4, dtype=self.dtype,
                              name="pre_subdivide")(h)
             h = sparse_subdivide(h)
+        assert not (self.use_flexi_weights and self.flexicubes_weights)
         h = SparseLayerNorm(affine=False, name="out_norm")(h)
         # 8 corners x (1 sdf + 3 deform [+ 1 flexi interp weight])
+        # [+ 21 per-cube FlexiCubes weights]
         per_corner = 5 if self.use_flexi_weights else 4
-        out = SparseLinear(8 * per_corner, kernel_init=nn.initializers.zeros,
+        n_out = 8 * per_corner + (21 if self.flexicubes_weights else 0)
+        out = SparseLinear(n_out, kernel_init=nn.initializers.zeros,
                            bias_init=nn.initializers.zeros, name="out_layer")(h)
 
         b, l, _ = out.feats.shape
         res = h.resolution
-        vals = out.feats.reshape(b, l, 8, per_corner)
+        vals = out.feats[..., : 8 * per_corner].reshape(b, l, 8, per_corner)
         sdf_c = vals[..., 0] - 0.1  # bias: empty space is outside
         deform_c = jnp.tanh(vals[..., 1:4]) * 0.5
         if self.use_flexi_weights:
@@ -104,6 +112,29 @@ class SLatMeshDecoder(nn.Module):
         # corners never touched by any voxel: far outside
         sdf_grid = jnp.where(occ, sdf_grid, 1.0)
         n = res + 1
+        if self.flexicubes_weights:
+            # per-CUBE raw 21 weights scattered onto the [R^3] cell grid
+            # (cells are unique per voxel: plain set; empty cells raw 0 ->
+            # neutral beta/alpha=1, gamma=0.5 after normalize_weights)
+            w_c = out.feats[..., 8 * per_corner:]  # [B, L, 21]
+            cell = (
+                h.coords[..., 0] * res * res
+                + h.coords[..., 1] * res
+                + h.coords[..., 2]
+            )
+            cell = jnp.where(h.valid, cell, res**3)
+
+            def scatter_cells(w_b, cell_b):
+                buf = jnp.zeros((res**3 + 1, 21), w_b.dtype)
+                return buf.at[cell_b].set(w_b)[:-1]
+
+            w_grid = jax.vmap(scatter_cells)(w_c, cell)
+            return (
+                sdf_grid.reshape(b, n, n, n),
+                deform_grid.reshape(b, n, n, n, 3),
+                w_grid.reshape(b, res, res, res, 21),
+                res,
+            )
         if self.use_flexi_weights:
             alpha_grid, _ = jax.vmap(scatter)(alpha_c, flat)
             alpha_grid = jnp.where(occ, alpha_grid, 1.0)

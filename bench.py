@@ -2,14 +2,17 @@
 
 Two benches:
   1. `denoise` — the 32-step DPM-Solver++ multistep denoise of the deformation
-     latent with the full-size DiT (12x512, dual-scale 3-way CFG), the hot
-     loop of inference_dpm_latent.py (reference model/dpmsolver.py:1188-1230 +
-     model/dit.py:449).
+     latent with the full-size DiT (12x512), the hot loop of
+     inference_dpm_latent.py (reference model/dpmsolver.py:1188-1230 +
+     model/dit.py:449). Default guidance matches the reference's actual
+     in-the-wild launch (scales 1.0/1.0 -> single conditional pass,
+     scripts/run_in_the_wild.sh:39); GVF_BENCH_CFG=dual measures the
+     dual-scale 3-way-CFG variant.
   2. `e2e` (default) — BASELINE config #1: the full minimal in-the-wild
      sample at reference shapes (inference_dpm_latent.py:41-273): DINOv2
      video encode -> TRELLIS canonical generation (ss-flow 12 Euler steps
      cfg 7.5, ss-decode, slat-flow 12 steps cfg 3, GS decode) -> azimuth
-     alignment (360 rendered candidates) -> 32-step CFG DPM denoise ->
+     alignment (360 rendered candidates) -> 32-step DPM denoise ->
      motion-VAE delta decode -> 24-frame 512^2 render sweep. Random weights,
      fixed reference shapes — a latency benchmark, not a fidelity one.
 
@@ -65,7 +68,7 @@ def _time_stage(name, fn, *args, iters=2):
 
 
 def build_denoise():
-    """The DPM denoise stage (full-size DiT, 3-way dual-scale CFG)."""
+    """The DPM denoise stage (full-size DiT; guidance per GVF_BENCH_CFG)."""
     from gvfdiffusion_tpu.diffusion.dpm_solver import (
         DPMSolver, NoiseScheduleVP, model_wrapper,
     )
@@ -101,6 +104,17 @@ def build_denoise():
     betas = get_named_beta_schedule("cosine", 1000)
     ns = NoiseScheduleVP.from_betas(betas)
 
+    # The reference's actual in-the-wild launch passes NO guidance flags
+    # (scripts/run_in_the_wild.sh:39, defaults guidance_scale=1.0 and
+    # guidance_scale2=1.0 at inference_dpm_latent.py:310-311), so its
+    # model_wrapper takes the single-conditional-pass branch
+    # (model/dpmsolver.py:329-330) — batch 1, no CFG stack. Set
+    # GVF_BENCH_CFG=dual to measure the dual-scale 3-way-CFG variant
+    # (guidance_scale 2, guidance_scale2 5), which costs ~3x.
+    dual_cfg = os.environ.get("GVF_BENCH_CFG", "") == "dual"
+    gs, gs2 = (2.0, 5.0) if dual_cfg else (1.0, 1.0)
+    rows = 3 if dual_cfg else 1
+
     # IMPORTANT: params/cond enter as jit ARGUMENTS, not closure captures —
     # captured arrays serialize as HLO constants (233 MB of weights), which
     # both bloats compile time and overflows the axon tunnel's request limit.
@@ -114,17 +128,22 @@ def build_denoise():
             )
 
         # hoist the loop-invariant cross-attention KV out of the denoise loop
-        full_uncond = dict(cond, static_latent=jnp.zeros_like(cond["static_latent"]))
-        c3 = {k: jnp.concatenate([full_uncond[k], cond[k], cond[k]]) for k in cond}
+        if dual_cfg:
+            full_uncond = dict(
+                cond, static_latent=jnp.zeros_like(cond["static_latent"]))
+            ckv = {k: jnp.concatenate([full_uncond[k], cond[k], cond[k]])
+                   for k in cond}
+        else:
+            ckv = cond
         kv = model.apply(
-            params, jnp.zeros((3 * B, T, N, C)), jnp.zeros((3 * B,)),
-            c3["cond_images"], c3["static_latent"], c3["positions"],
+            params, jnp.zeros((rows * B, T, N, C)), jnp.zeros((rows * B,)),
+            ckv["cond_images"], ckv["static_latent"], ckv["positions"],
             kv_only=True,
         )
         model_fn = model_wrapper(
             raw_model, ns, model_type="v", guidance_type="classifier-free",
             condition=cond, unconditional_condition=cond,
-            guidance_scale=2.0, guidance_scale2=5.0, cross_kv=kv,
+            guidance_scale=gs, guidance_scale2=gs2, cross_kv=kv,
         )
         solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++")
         return solver.sample(noise, steps=steps, order=2, method="multistep")
@@ -379,7 +398,7 @@ def main():
     if mode == "denoise":
         dt = bench_denoise()
         print(json.dumps({
-            "metric": "dpm32_denoise_latency_b1_cfg3",
+            "metric": "dpm32_denoise_latency_b1_cfg_dual" if os.environ.get("GVF_BENCH_CFG") == "dual" else "dpm32_denoise_latency_b1",
             "value": round(dt, 4),
             "unit": "s",
             "vs_baseline": round(10.0 / dt, 3),
@@ -400,7 +419,7 @@ def main():
         jax.clear_caches()  # drop live executables/buffers before rebuilding
         dt = bench_denoise()
         print(json.dumps({
-            "metric": "dpm32_denoise_latency_b1_cfg3",
+            "metric": "dpm32_denoise_latency_b1_cfg_dual" if os.environ.get("GVF_BENCH_CFG") == "dual" else "dpm32_denoise_latency_b1",
             "value": round(dt, 4),
             "unit": "s",
             "vs_baseline": round(10.0 / dt, 3),

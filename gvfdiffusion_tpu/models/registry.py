@@ -40,6 +40,8 @@ def _populate():
     from .static_vae import SparseTransformerVAE
     from .trellis.slat_decoders import SLatEncoder, SLatGaussianDecoder
     from .trellis.slat_flow import SLatFlowModel
+    from .trellis.slat_mesh_decoder import SLatMeshDecoder, SLatMeshDecoderRef
+    from .trellis.slat_rf_decoder import SLatRadianceFieldDecoder
     from .trellis.ss_flow import SparseStructureFlowModel
     from .trellis.ss_vae import SparseStructureDecoder, SparseStructureEncoder
 
@@ -55,8 +57,50 @@ def _populate():
         "SLatEncoder": SLatEncoder,
         "SLatGaussianDecoder": SLatGaussianDecoder,
         "ElasticSLatGaussianDecoder": SLatGaussianDecoder,  # reference alias
+        "SLatRadianceFieldDecoder": SLatRadianceFieldDecoder,
+        # reference name -> the checkpoint-compatible variant; the TPU
+        # re-design stays importable as TpuSLatMeshDecoder
+        "SLatMeshDecoder": SLatMeshDecoderRef,
+        "ElasticSLatMeshDecoder": SLatMeshDecoderRef,
+        "TpuSLatMeshDecoder": SLatMeshDecoder,
         "DinoV2": DinoV2,
     })
+
+
+def _adapt_kwargs(name: str, kwargs: Dict) -> Dict:
+    """Translate reference-style constructor args (the TRELLIS release json
+    configs, trellis/models/__init__.py from_pretrained) onto the flax
+    classes: torch-runtime flags are dropped, num_head_channels becomes
+    num_heads, representation_config dicts map to our flat fields."""
+    kw = dict(kwargs)
+    kw.pop("use_fp16", None)
+    kw.pop("use_checkpoint", None)
+    kw.pop("use_skip_connection", None)  # slat-flow: ours is always on (ref default)
+    if "num_head_channels" in kw:
+        nhc = kw.pop("num_head_channels")
+        if kw.get("num_heads") is None and kw.get("model_channels") and nhc:
+            kw["num_heads"] = kw["model_channels"] // nhc
+    rep = kw.pop("representation_config", None)
+    if isinstance(rep, dict):
+        if name in ("SLatMeshDecoder", "ElasticSLatMeshDecoder"):
+            kw["use_color"] = rep.get("use_color", False)
+        elif "GaussianDecoder" in name:
+            from .sparse_vae import GSConfig
+
+            kw["rep_config"] = GSConfig(
+                num_gaussians=rep.get("num_gaussians", 8),
+                voxel_size=rep.get("voxel_size", 1.5),
+                scaling_bias=rep.get("scaling_bias", 0.004),
+                opacity_bias=rep.get("opacity_bias", 0.1),
+                scaling_activation=rep.get("scaling_activation", "softplus"),
+                filter_3d_kernel_size=rep.get("3d_filter_kernel_size", 9e-4),
+                lr_rotation=(rep.get("lr") or {}).get("_rotation", 1.0),
+            )
+        # RF decoder: rank/dim already match our field names
+        elif "RadianceField" in name:
+            kw["rank"] = rep.get("rank", 16)
+            kw["dim"] = rep.get("dim", 8)
+    return kw
 
 
 def create_model(name: str, **kwargs):
@@ -64,7 +108,7 @@ def create_model(name: str, **kwargs):
         _populate()
     if name not in MODEL_REGISTRY:
         raise KeyError(f"unknown model {name!r}; known: {sorted(MODEL_REGISTRY)}")
-    return MODEL_REGISTRY[name](**kwargs)
+    return MODEL_REGISTRY[name](**_adapt_kwargs(name, kwargs))
 
 
 def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:

@@ -542,3 +542,30 @@ def convert_slat_rf_decoder(state_dict: Dict[str, Any], num_blocks: int = 12,
     """SLatRadianceFieldDecoder (decoder_rf.py) -> flax
     SLatRadianceFieldDecoder (same torso + out_layer shape)."""
     return convert_slat_gs_decoder(state_dict, num_blocks, qk_rms_norm)
+
+
+def _groupnorm(sd, tname, tree, fpath):
+    set_in(tree, fpath + ["scale"], np.asarray(sd[f"{tname}.weight"]))
+    set_in(tree, fpath + ["bias"], np.asarray(sd[f"{tname}.bias"]))
+
+
+def convert_slat_mesh_decoder(state_dict: Dict[str, Any], num_blocks: int = 12,
+                              qk_rms_norm: bool = False) -> Dict:
+    """SLatMeshDecoder (decoder_mesh.py:71) -> flax SLatMeshDecoderRef.
+    Torso via the shared map; the two SparseSubdivideBlock3d upsamples map
+    act_layers.0 -> act_norm, out_layers.{0,1,3} -> conv1/norm2/conv2,
+    skip_connection -> skip (1x1 conv; present because channels shrink)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    p: Dict = {}
+    _slat_torso(sd, p, num_blocks, qk_rms_norm)
+    for i in (0, 1):
+        b = f"upsample.{i}"
+        fp = [f"upsample_{i}"]
+        _groupnorm(sd, f"{b}.act_layers.0", p, fp + ["act_norm"])
+        _spconv(sd, f"{b}.out_layers.0.conv", p, fp + ["conv1"])
+        _groupnorm(sd, f"{b}.out_layers.1", p, fp + ["norm2"])
+        _spconv(sd, f"{b}.out_layers.3.conv", p, fp + ["conv2"])
+        if f"{b}.skip_connection.conv.weight" in sd:
+            _spconv(sd, f"{b}.skip_connection.conv", p, fp + ["skip"])
+    _linear(sd, "out_layer", p, ["out_layer", "Dense_0"])
+    return {"params": p}

@@ -1091,3 +1091,61 @@ def test_trellis_slat_encoder_parity():
                      m_valid, np.asarray(m_mean[0]), "slat enc mean")
     _match_by_coords(np.asarray(tx.coords[:, 1:]), _np(t_logvar), m_coords,
                      m_valid, np.asarray(m_logvar[0]), "slat enc logvar")
+
+
+def test_trellis_slat_mesh_decoder_parity():
+    """TRELLIS SLatMeshDecoder (decoder_mesh.py:71) vs flax
+    SLatMeshDecoderRef: same random weights -> same 53-channel FlexiCubes
+    feature field per subdivided voxel (torso -> two SparseSubdivideBlock3d
+    upsamples -> zero-init linear head; here all weights randomized)."""
+    dm = ref_loader.load_trellis(
+        "trellis.models.structured_latent_vae.decoder_mesh")
+
+    class _FakeS2M:
+        # stand-in for SparseFeatures2Mesh: the ctor builds CUDA dense grids
+        # (cube2mesh.py:72-75); only feats_channels matters for the network
+        def __init__(self, res=64, use_color=False):
+            self.res = res
+            self.use_color = use_color
+            self.feats_channels = 8 + 24 + (48 if use_color else 0) + 21
+
+    orig = dm.SparseFeatures2Mesh
+    dm.SparseFeatures2Mesh = _FakeS2M
+    try:
+        tm = _randomize(
+            dm.SLatMeshDecoder(
+                resolution=16, model_channels=256, latent_channels=4,
+                num_blocks=2, num_heads=4, attn_mode="swin", window_size=4,
+                representation_config={"use_color": False},
+            ), seed=41, scale=0.05,
+        ).eval()
+    finally:
+        dm.SparseFeatures2Mesh = orig
+
+    coords, feats = _slat_sparse_input(n=6, res=16, c=4, seed=42)
+    tx = _trellis_sparse(coords, feats)
+    tm.to_representation = lambda h: h  # network output, not CUDA extraction
+    with torch.no_grad():
+        t_out = tm(tx)
+
+    from gvfdiffusion_tpu.models.trellis.slat_mesh_decoder import (
+        SLatMeshDecoderRef,
+    )
+    from gvfdiffusion_tpu.sparse.tensor import from_lists
+
+    mine = SLatMeshDecoderRef(
+        resolution=16, model_channels=256, latent_channels=4, num_blocks=2,
+        num_heads=4, attn_mode="swin", window_size=4,
+    )
+    params = jax.tree.map(jnp.asarray, wc.convert_slat_mesh_decoder(
+        {k: _np(v) for k, v in tm.state_dict().items()}, num_blocks=2,
+    ))
+    x = from_lists([coords], [feats], resolution=16, capacity=6)
+    m_out = mine.apply(params, x)
+
+    assert m_out.resolution == 64 and m_out.feats.shape[-1] == 53
+    _match_by_coords(
+        np.asarray(t_out.coords[:, 1:]), _np(t_out.feats),
+        np.asarray(m_out.coords[0]), np.asarray(m_out.valid[0]),
+        np.asarray(m_out.feats[0]), "slat mesh feats", rtol=5e-4, atol=5e-4,
+    )

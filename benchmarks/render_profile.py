@@ -100,6 +100,10 @@ def main():
 
     binned = jax.jit(lambda: binning.bin_gaussians(
         mean2d, cov2d, colors, op, depths, valid, H, W, TILE, K))()
+    # jit returns every pytree leaf as an array; restore the static fields
+    binned = binned._replace(
+        n_tiles_y=int(binned.n_tiles_y), n_tiles_x=int(binned.n_tiles_x),
+        tile=int(binned.tile))
 
     # 5. blend
     t = scan(lambda: blend_tiles(binned, H, W, bg))

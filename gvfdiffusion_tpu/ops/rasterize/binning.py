@@ -145,6 +145,9 @@ def build_rank_index(inter: jnp.ndarray) -> RankIndex:
     if pad:
         inter = jnp.pad(inter, ((0, 0), (0, pad)))
     c = inter.shape[1] // w
+    # int32 window bits: int8 was tried to cut the [T, C, W] HBM traffic 4x
+    # and measured SLOWER (rank_select 5.0 -> 6.9 ms on v5e — sub-word
+    # gathers repack to 32-bit lanes); keep the native int32 tile
     ic = inter.reshape(t, c, w).astype(jnp.int32)
     ccum = jnp.cumsum(jnp.sum(ic, axis=2, dtype=jnp.int32), axis=1)
     return RankIndex(ic=ic, ccum=ccum, n=n)
@@ -157,19 +160,15 @@ def rank_select(ri: RankIndex, lo: jnp.ndarray, k: int):
     t, c, w = ri.ic.shape
     targets = lo[:, None] + 1 + jnp.arange(k, dtype=jnp.int32)[None, :]
     mask = targets <= ri.total[:, None]
-    # first chunk whose cumulative count reaches the target
-    lo_i = jnp.zeros(targets.shape, jnp.int32)
-    hi_i = jnp.full(targets.shape, c, jnp.int32)
-    steps = max(1, (c + 1).bit_length())
-
-    def step(_, lh):
-        lo_i, hi_i = lh
-        mid = (lo_i + hi_i) // 2
-        vals = jnp.take_along_axis(ri.ccum, jnp.minimum(mid, c - 1), axis=1)
-        ge = vals >= targets
-        return jnp.where(ge, lo_i, mid + 1), jnp.where(ge, mid, hi_i)
-
-    _, c_hit = jax.lax.fori_loop(0, steps, step, (lo_i, hi_i))
+    # first chunk whose cumulative count reaches the target. ccum is monotone
+    # along chunks, so the search index is just the count of chunks strictly
+    # below the target — one fused broadcast-compare-reduce over [T', k, C].
+    # (An 11-step binary search fori_loop measured 10.5 ms here: each step is
+    # a tiny dependent gather kernel, pure latency; the reduce streams the
+    # same answer in <1 ms — benchmarks/rank_profile.py.)
+    c_hit = jnp.sum(
+        (ri.ccum[:, None, :] < targets[:, :, None]).astype(jnp.int32), axis=-1
+    )
     c_hit = jnp.minimum(c_hit, c - 1)
     prev = jnp.where(
         c_hit > 0,

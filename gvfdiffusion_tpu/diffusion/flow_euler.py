@@ -4,10 +4,12 @@ Re-design of trellis/pipelines/samplers/flow_euler.py:11-245 (+ the CFG and
 guidance-interval mixins): the whole sampling loop is a `lax.scan` over a
 precomputed (host-side numpy) rescaled t-grid, so the 12-step TRELLIS
 sparse-structure and SLat sampling passes each compile to one XLA graph.
-CFG always computes both cond and neg passes and where-selects by the
-guidance interval (a lax.cond skip was measured SLOWER — it breaks scan
-pipelining; see predict_v); CFG can optionally run as one 2B-batched model
-call (cfg_batched, off by default — also measured slower).
+The guidance interval is applied STATICALLY: the host-side t grid is split
+into contiguous runs, scanning the 2-pass CFG step inside the interval and
+the single cond pass outside (see sample). A per-step lax.cond skip was
+measured SLOWER (it breaks scan pipelining; see predict_v), and CFG can
+optionally run as one 2B-batched model call (cfg_batched, off by default —
+also measured slower).
 """
 
 from __future__ import annotations
@@ -94,19 +96,47 @@ class FlowEulerSampler:
         cfg_interval=None,
         cfg_batched: bool = False,
     ):
-        """Returns dict(samples=...). The scan carries only x."""
-        ts = jnp.asarray(t_schedule(steps, rescale_t), jnp.float32)
+        """Returns dict(samples=...). The scan carries only x.
 
-        def step(x, tt):
-            t, t_prev = tt
-            v = self.predict_v(
-                model, x, t, cond, neg_cond, cfg_strength, cfg_interval,
-                cfg_batched,
-            )
-            return x - (t - t_prev) * v, None
+        The t grid is host-side numpy, so a guidance interval partitions the
+        steps STATICALLY into contiguous runs: runs inside the interval scan
+        with the 2-pass CFG step, runs outside scan with the single cond
+        pass. Unlike the measured-slower per-step lax.cond, this never
+        branches inside a scan — out-of-interval steps simply compile
+        without the neg pass (numerics identical to the where-select form,
+        which always computed both and discarded one)."""
+        ts_np = t_schedule(steps, rescale_t)
+        pairs_np = np.stack([ts_np[:-1], ts_np[1:]], axis=1)
+        use_cfg = neg_cond is not None and cfg_strength != 0.0
 
-        pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)
-        x, _ = jax.lax.scan(step, noise, pairs)
+        def make_step(with_cfg: bool):
+            def step(x, tt):
+                t, t_prev = tt
+                v = self.predict_v(
+                    model, x, t, cond,
+                    neg_cond if with_cfg else None,
+                    cfg_strength if with_cfg else 0.0,
+                    None, cfg_batched,
+                )
+                return x - (t - t_prev) * v, None
+            return step
+
+        if use_cfg and cfg_interval is not None:
+            lo, hi = cfg_interval
+            in_i = (pairs_np[:, 0] >= lo) & (pairs_np[:, 0] <= hi)
+            x = noise
+            i = 0
+            while i < steps:
+                j = i
+                while j < steps and in_i[j] == in_i[i]:
+                    j += 1
+                seg = jnp.asarray(pairs_np[i:j], jnp.float32)
+                x, _ = jax.lax.scan(make_step(bool(in_i[i])), x, seg)
+                i = j
+            return {"samples": x}
+
+        pairs = jnp.asarray(pairs_np, jnp.float32)
+        x, _ = jax.lax.scan(make_step(use_cfg), noise, pairs)
         return {"samples": x}
 
 

@@ -361,6 +361,30 @@ def install_stubs():
         sys.modules["torchvision.models"] = models
     if "vox2seq" not in sys.modules:
         sys.modules["vox2seq"] = _make_vox2seq_stub()
+    if "kaolin" not in sys.modules:
+        # flexicubes.py imports kaolin.utils.testing.check_tensor (shape
+        # assertion helper) — provide the same-semantics check
+        kaolin = types.ModuleType("kaolin")
+        utils = types.ModuleType("kaolin.utils")
+        testing = types.ModuleType("kaolin.utils.testing")
+
+        def check_tensor(tensor, shape=None, dtype=None, throw=True):
+            ok = True
+            if shape is not None:
+                ok = len(tensor.shape) == len(shape) and all(
+                    s is None or a == s for a, s in zip(tensor.shape, shape))
+            if ok and dtype is not None:
+                ok = tensor.dtype == dtype
+            if not ok and throw:
+                raise ValueError(f"bad tensor shape {tuple(tensor.shape)}")
+            return ok
+
+        testing.check_tensor = check_tensor
+        utils.testing = testing
+        kaolin.utils = utils
+        sys.modules["kaolin"] = kaolin
+        sys.modules["kaolin.utils"] = utils
+        sys.modules["kaolin.utils.testing"] = testing
     if "easydict" not in sys.modules:
         ed = types.ModuleType("easydict")
 

@@ -65,20 +65,22 @@ def test_beta_moves_dual_vertex():
     r = 8
     sdf = jnp.asarray(sphere_sdf(r))
     base = flexicubes_dense(sdf)
-    # find a surface cube: a valid face's first vertex slot
+    # find a surface cube: a valid face's first vertex slot (vert layout is
+    # cube*4 + slot since the multi-dual-vertex rewrite)
     fv = np.asarray(base.face_valid)
-    cube = int(np.asarray(base.faces)[fv][0, 0])
+    vidx = int(np.asarray(base.faces)[fv][0, 0])
+    cube = vidx // 4
     # uneven betas across all 12 edges (a bump on a single edge can land on
     # a non-crossing edge, which is masked out of the average)
     w = jnp.zeros((r * r * r, 21)).at[cube, :12].set(
         jnp.linspace(-2.0, 2.0, 12)).reshape(r, r, r, 21)
     moved = flexicubes_dense(sdf, weights=w)
     delta = np.linalg.norm(
-        np.asarray(moved.verts[cube]) - np.asarray(base.verts[cube]))
+        np.asarray(moved.verts[vidx]) - np.asarray(base.verts[vidx]))
     assert delta > 1e-4
-    # and only that cube's vertex moves
-    others = np.delete(np.asarray(moved.verts) - np.asarray(base.verts),
-                       cube, axis=0)
+    # and only that cube's vertex slots move
+    diff = np.asarray(moved.verts) - np.asarray(base.verts)
+    others = np.delete(diff, range(cube * 4, cube * 4 + 4), axis=0)
     assert np.abs(others).max() < 1e-6
 
 
@@ -174,3 +176,192 @@ def test_mesh_decoder_flexicubes_weights():
     assert weights.shape == (1, res, res, res, 21)
     mesh = flexicubes_dense(sdf[0], deform[0], weights[0])
     assert np.isfinite(np.asarray(mesh.verts)).all()
+
+
+# ---------------------------------------------------------------------------
+# Multi-dual-vertex (dmc_table) parity vs the torch reference extractor
+# ---------------------------------------------------------------------------
+
+
+def _load_ref_flexicubes():
+    import pytest
+
+    pytest.importorskip("torch")
+    import ref_loader
+
+    fc_mod = ref_loader.load_trellis(
+        "trellis.representations.mesh.flexicubes.flexicubes")
+    return fc_mod
+
+
+def test_dmc_tables_match_reference():
+    """The host-DERIVED case tables (ops/flexicubes._build_dmc_tables) must
+    equal the reference's dmc_table / num_vd_table / check_table exactly
+    (trellis/representations/mesh/flexicubes/tables.py)."""
+    import sys
+
+    import numpy as np
+
+    sys.path.append(
+        "/root/reference/trellis/representations/mesh/flexicubes")
+    import tables as ref_tables
+
+    from gvfdiffusion_tpu.ops.flexicubes import (
+        EDGE_SLOT, NUM_VD, PROB_DIR, PROBLEM,
+    )
+
+    dmc = np.asarray(ref_tables.dmc_table)          # [256, 4, 7]
+    nvd = np.asarray(ref_tables.num_vd_table)       # [256]
+    chk = np.asarray(ref_tables.check_table)        # [256, 5]
+
+    np.testing.assert_array_equal(NUM_VD, nvd)
+    for case in range(256):
+        ref_groups = sorted(
+            (frozenset(int(e) for e in dmc[case, v] if e != -1)
+             for v in range(4) if (dmc[case, v] != -1).any()),
+            key=sorted)
+        mine_groups = sorted(
+            (frozenset(np.nonzero(EDGE_SLOT[case] == s)[0].tolist())
+             for s in range(4) if (EDGE_SLOT[case] == s).any()),
+            key=sorted)
+        assert mine_groups == ref_groups, f"case {case}"
+
+    np.testing.assert_array_equal(PROBLEM, chk[:, 0] == 1)
+    prob = np.nonzero(PROBLEM)[0]
+    np.testing.assert_array_equal(PROB_DIR[prob], chk[prob, 1:4])
+    # alternative case = bitwise complement
+    np.testing.assert_array_equal(255 - prob, chk[prob, 4])
+
+
+def _tri_set(verts, faces, decimals=4):
+    """Canonical set of oriented triangles by vertex POSITION (layout-free):
+    rotate each triangle so its lexicographically smallest vertex is first
+    (preserves winding), round, and collect into a set."""
+    import numpy as np
+
+    tris = set()
+    v = np.round(np.asarray(verts, np.float64), decimals)
+    for f in np.asarray(faces):
+        pts = [tuple(v[i]) for i in f]
+        k = min(range(3), key=lambda i: pts[i])
+        tris.add((pts[k], pts[(k + 1) % 3], pts[(k + 2) % 3]))
+    return tris
+
+
+def test_multi_vertex_ambiguous_parity():
+    """Random SDF signs on an 8^3 grid hit multi-vd and C16/C19 ambiguous
+    cases; the extracted triangle set (positions + winding) must match the
+    torch reference FlexiCubes extractor exactly — closing the round-3
+    single-dual-vertex deviation (VERDICT r3 missing #5)."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    fc_mod = _load_ref_flexicubes()
+
+    from gvfdiffusion_tpu.ops.flexicubes import (
+        EDGE_SLOT, NUM_VD, flexicubes_dense,
+    )
+
+    r = 8
+    n = r + 1
+    rng = np.random.default_rng(5)
+    sdf = rng.normal(size=(n, n, n)).astype(np.float32) * 0.5
+    deform = rng.normal(size=(n, n, n, 3)).astype(np.float32) * 0.1
+    raw_w = rng.normal(size=(r, r, r, 21)).astype(np.float32)
+
+    # confirm the fixture actually contains multi-vd cubes
+    occ = sdf < 0
+    g = np.arange(r)
+    base = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+    from gvfdiffusion_tpu.ops.flexicubes import CORNER_OFFSETS
+
+    cpos = base[:, None, :] + CORNER_OFFSETS[None]
+    occ8 = occ[cpos[..., 0], cpos[..., 1], cpos[..., 2]]
+    cases = (occ8 * (2 ** np.arange(8))[None]).sum(-1)
+    assert (NUM_VD[cases] > 1).sum() > 10, "fixture lacks multi-vd cubes"
+
+    # ---- torch reference on the same dense grid
+    fc = fc_mod.FlexiCubes(device="cpu")
+    vg = np.stack(np.meshgrid(np.arange(n), np.arange(n), np.arange(n),
+                              indexing="ij"), -1).reshape(-1, 3)
+    scale = 1.0 / r
+    verts_ref_in = torch.tensor(
+        (vg + deform.reshape(-1, 3)) * scale, dtype=torch.float32)
+    vid = (vg[:, 0] * n + vg[:, 1]) * n + vg[:, 2]
+    assert (vid == np.arange(n**3)).all()
+    cube_idx = torch.tensor(
+        ((cpos[..., 0] * n + cpos[..., 1]) * n + cpos[..., 2]),
+        dtype=torch.long)
+    w = raw_w.reshape(-1, 21)
+    with torch.no_grad():
+        t_verts, t_faces, t_ldev, _ = fc(
+            verts_ref_in, torch.tensor(sdf.reshape(-1)), cube_idx, r,
+            beta=torch.tensor(w[:, :12]), alpha=torch.tensor(w[:, 12:20]),
+            gamma_f=torch.tensor(w[:, 20]), training=False)
+
+    # ---- mine
+    mesh = flexicubes_dense(
+        jnp.asarray(sdf), jnp.asarray(deform), jnp.asarray(raw_w),
+        grid_scale=1.0, training=False)
+    mv = np.asarray(mesh.verts)
+    mf = np.asarray(mesh.faces)[np.asarray(mesh.face_valid)]
+
+    ref_tris = _tri_set(t_verts.numpy(), t_faces.numpy())
+    my_tris = _tri_set(mv, mf)
+
+    # interior-only: the reference also quadifies BOUNDARY grid edges that
+    # have fewer than 4 adjacent cubes? No — it requires edge_counts == 4,
+    # so both enumerate exactly the interior surface edges.
+    assert len(my_tris) == len(ref_tris), (
+        f"face count: mine {len(my_tris)} ref {len(ref_tris)}")
+    missing = ref_tris - my_tris
+    extra = my_tris - ref_tris
+    assert not missing and not extra, (
+        f"{len(missing)} missing / {len(extra)} extra triangles; "
+        f"example missing: {list(missing)[:2]}, extra: {list(extra)[:2]}")
+
+
+def test_multi_vertex_training_mode_parity():
+    """Training-mode (center-vertex) triangulation vs the reference."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    fc_mod = _load_ref_flexicubes()
+
+    from gvfdiffusion_tpu.ops.flexicubes import flexicubes_dense
+
+    r = 6
+    n = r + 1
+    rng = np.random.default_rng(9)
+    sdf = rng.normal(size=(n, n, n)).astype(np.float32) * 0.5
+    raw_w = rng.normal(size=(r, r, r, 21)).astype(np.float32)
+
+    fc = fc_mod.FlexiCubes(device="cpu")
+    vg = np.stack(np.meshgrid(np.arange(n), np.arange(n), np.arange(n),
+                              indexing="ij"), -1).reshape(-1, 3)
+    g = np.arange(r)
+    base = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+    from gvfdiffusion_tpu.ops.flexicubes import CORNER_OFFSETS
+
+    cpos = base[:, None, :] + CORNER_OFFSETS[None]
+    cube_idx = torch.tensor(
+        ((cpos[..., 0] * n + cpos[..., 1]) * n + cpos[..., 2]),
+        dtype=torch.long)
+    w = raw_w.reshape(-1, 21)
+    with torch.no_grad():
+        t_verts, t_faces, _, _ = fc(
+            torch.tensor(vg / r, dtype=torch.float32),
+            torch.tensor(sdf.reshape(-1)), cube_idx, r,
+            beta=torch.tensor(w[:, :12]), alpha=torch.tensor(w[:, 12:20]),
+            gamma_f=torch.tensor(w[:, 20]), training=True)
+
+    mesh = flexicubes_dense(
+        jnp.asarray(sdf), None, jnp.asarray(raw_w), grid_scale=1.0,
+        training=True)
+    mf = np.asarray(mesh.faces)[np.asarray(mesh.face_valid)]
+    ref_tris = _tri_set(t_verts.numpy(), t_faces.numpy())
+    my_tris = _tri_set(np.asarray(mesh.verts), mf)
+    assert my_tris == ref_tris, (
+        f"{len(ref_tris - my_tris)} missing / {len(my_tris - ref_tris)} extra")

@@ -59,6 +59,9 @@ _FORCE_HEAD_BLK: int | None = None
 # measure-only: exponentiate in bf16 (halves the softmax VPU passes; ~1%
 # relative softmax error — not for parity paths)
 _EXP_BF16 = False
+# global quantization override for end-to-end measurement ("qk" / "qk+av");
+# None honors each call's `quant` argument
+_FORCE_QUANT: str | None = None
 
 
 def _lq_block(lq: int, lk_pad: int) -> int:
@@ -90,11 +93,18 @@ def _head_block(num_heads: int, head_dim: int) -> int:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
-                 head_dim: int, compute_dtype, segment_size: int = 0):
+                 head_dim: int, compute_dtype, segment_size: int = 0,
+                 quant: str = ""):
     # refs: q/o [1, Lq, hb*D]; k/v [1, Lk_pad, hb*D] — heads packed in lanes;
     # bias [1, Lk_pad] = _SHIFT on valid columns, +inf on kv padding — the
     # column mask rides the scale epilogue as ONE fused multiply-subtract
     # pass (exp2(-inf) == 0) instead of a separate iota+where pass over S.
+    #
+    # quant: "" (bf16), "qk" (int8 QK with per-head dynamic scales, fp32-exact
+    # epilogue), or "qk+av" (int8 P.V too: row-max-normalized P quantized to
+    # 127 steps, ones column carries the denominator so the dequant scales
+    # cancel). int8 runs the MXU at 2x the bf16 rate — the last denoise lever
+    # BENCH_NOTES names; error bounds measured in tests/test_fused_attention.
     nh = q_ref.shape[2] // head_dim
     bias = bias_ref[0, 0, :]
     for h in range(nh):
@@ -102,10 +112,26 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
         q = q_ref[0, :, sl].astype(compute_dtype)
         k = k_ref[0, :, sl].astype(compute_dtype)
         v = v_ref[0, :, sl].astype(compute_dtype)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [Lq, Lk_pad]
-        s = s * (scale * _LOG2E) - bias[None, :]
+        if quant:
+            # per-(head, block) dynamic symmetric scales; zeros on kv padding
+            # quantize to 0 so the bias mask still handles validity
+            qf = q.astype(jnp.float32)
+            kf = k.astype(jnp.float32)
+            qm = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-6)
+            km = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-6)
+            qi = jnp.round(qf * (127.0 / qm)).astype(jnp.int8)
+            ki = jnp.round(kf * (127.0 / km)).astype(jnp.int8)
+            s = jax.lax.dot_general(
+                qi, ki, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            s = s * ((qm * km / (127.0 * 127.0)) * scale * _LOG2E) - bias[None, :]
+        else:
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Lq, Lk_pad]
+            s = s * (scale * _LOG2E) - bias[None, :]
         if segment_size:
             # block-diagonal mask: sequence-packed independent segments
             # (e.g. 16 temporal rows of T=32 packed into one 512 sequence).
@@ -115,6 +141,28 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(row // segment_size == col // segment_size,
                           s, -jnp.inf)
+        if quant == "qk+av":
+            # row-max normalization (re-introduces the max pass the bf16
+            # kernel elides) so P in (0,1] survives 127-step quantization;
+            # fully-masked rows: max = -inf -> s - m = nan; guard with 0
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(jnp.maximum(s - m, -126.0))
+            pi = jnp.round(p * 127.0).astype(jnp.int8)
+            vf = v.astype(jnp.float32)
+            vm = jnp.maximum(jnp.max(jnp.abs(vf)), 1e-6)
+            vi = jnp.round(vf * (127.0 / vm)).astype(jnp.int8)
+            vi_aug = jnp.concatenate(
+                [vi, jnp.full((vi.shape[0], 1), 127, jnp.int8)], axis=1
+            )
+            o = jax.lax.dot_general(
+                pi, vi_aug, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)  # [Lq, D+1]
+            denom = jnp.maximum(o[:, head_dim:], 1.0)
+            # dequant scales cancel in the ratio; ones column absorbs 1/vm
+            o_ref[0, :, sl] = (
+                o[:, :head_dim] / denom * vm).astype(o_ref.dtype)
+            continue
         if _EXP_BF16:
             p = jnp.exp2(s.astype(jnp.bfloat16))
         else:
@@ -140,6 +188,7 @@ def _fused_attention_fwd_impl(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     compute_dtype=jnp.bfloat16, interpret: bool = False,
     segment_size: int = 0, kv_bias: jnp.ndarray | None = None,
+    quant: str = "",
 ) -> jnp.ndarray:
     """q [B, Lq, H, D]; k, v [B, Lk, H, D] -> [B, Lq, H, D].
 
@@ -179,6 +228,7 @@ def _fused_attention_fwd_impl(
     kernel = functools.partial(
         _attn_kernel, scale=scale, head_dim=D,
         compute_dtype=compute_dtype, segment_size=segment_size,
+        quant=(quant if _FORCE_QUANT is None else _FORCE_QUANT),
     )
     out = pl.pallas_call(
         kernel,
@@ -210,20 +260,22 @@ def _zero_bias(q, k):
     return jnp.zeros((q.shape[0], k.shape[1]), jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _fused_attention_vjp(q, k, v, scale: float, compute_dtype,
-                         interpret: bool, segment_size: int, kv_bias):
+                         interpret: bool, segment_size: int, quant: str,
+                         kv_bias):
     return _fused_attention_fwd_impl(q, k, v, scale, compute_dtype, interpret,
-                                     segment_size, kv_bias)
+                                     segment_size, kv_bias, quant)
 
 
-def _fwd(q, k, v, scale, compute_dtype, interpret, segment_size, kv_bias):
+def _fwd(q, k, v, scale, compute_dtype, interpret, segment_size, quant,
+         kv_bias):
     out = _fused_attention_fwd_impl(q, k, v, scale, compute_dtype, interpret,
-                                    segment_size, kv_bias)
+                                    segment_size, kv_bias, quant)
     return out, (q, k, v, kv_bias)
 
 
-def _bwd(scale, compute_dtype, interpret, segment_size, res, g):
+def _bwd(scale, compute_dtype, interpret, segment_size, quant, res, g):
     # standard attention gradient, XLA einsums in fp32 (training path keeps
     # the pre-kernel numerics; the fwd kernel is the inference win)
     q, k, v, kv_bias = res
@@ -250,15 +302,18 @@ _fused_attention_vjp.defvjp(_fwd, _bwd)
 
 def fused_attention(q, k, v, scale: float, compute_dtype=jnp.bfloat16,
                     interpret: bool = False, segment_size: int = 0,
-                    kv_bias=None):
+                    kv_bias=None, quant: str = ""):
     """Softmax attention, [B, Lq, H, D] layout, fused on TPU via Pallas.
 
     kv_bias [B, Lk] float (optional): additive pre-softmax logit bias per
-    key; -inf masks a key (ragged kv validity)."""
+    key; -inf masks a key (ragged kv validity).
+
+    quant: "" | "qk" | "qk+av" — int8 MXU quantization of the QK and/or P.V
+    contractions (inference only; the backward pass keeps fp32 numerics)."""
     if kv_bias is None:
         kv_bias = _zero_bias(q, k)
     return _fused_attention_vjp(q, k, v, scale, compute_dtype, interpret,
-                                segment_size, kv_bias)
+                                segment_size, quant, kv_bias)
 
 
 def supports(q_shape, k_shape) -> bool:

@@ -246,3 +246,56 @@ def test_temporal_supports_predicate():
     assert fa.temporal_supports((1, 32, 512, 16, 32))
     assert fa.temporal_supports((1, 32, 510, 16, 32))  # NC adapts (510 % 2)
     assert not fa.temporal_supports((1, 32, 512, 3, 32))   # lanes % 128
+
+
+# ---------------------------------------------------------------------------
+# int8 quantized kernels (VERDICT r3 item 4: the last denoise lever)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("quant,tol", [("qk", 0.03), ("qk+av", 0.06)])
+def test_quant_int8_error_bound(quant, tol):
+    """int8 QK (and P.V) vs the fp32 reference: per-head dynamic scales keep
+    the attention output within a few percent of full precision at trained-
+    transformer logit scales (the parity-risk bound VERDICT asks for)."""
+    B, H, D, Lq, Lk = 1, 4, 32, 128, 256
+    q = _rand((B, Lq, H, D), 20) * 0.5
+    k = _rand((B, Lk, H, D), 21) * 0.5
+    v = _rand((B, Lk, H, D), 22)
+    ref = jax.nn.dot_product_attention(q, k, v)
+    out = fa.fused_attention(q, k, v, D**-0.5, jnp.float32, True, quant=quant)
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    rel = err.max() / np.abs(np.asarray(ref)).max()
+    print(f"int8 {quant}: max_abs={err.max():.4f} rel={rel:.4f}")
+    assert rel < tol, f"int8 {quant} relative error {rel:.4f}"
+
+
+def test_quant_int8_diffuse_rows_survive():
+    """Near-uniform attention rows (every weight ~1/Lk) must not collapse
+    under P quantization — the row-max normalization guarantees the max
+    element quantizes to 127."""
+    B, H, D, L = 1, 2, 32, 256
+    q = jnp.zeros((B, L, H, D))  # all logits equal -> exactly uniform P
+    k = _rand((B, L, H, D), 23)
+    v = _rand((B, L, H, D), 24)
+    ref = jnp.mean(v, axis=1, keepdims=True) * jnp.ones((1, L, 1, 1))
+    out = fa.fused_attention(q, k, v, D**-0.5, jnp.float32, True,
+                             quant="qk+av")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_quant_int8_kv_bias_mask():
+    """Ragged kv masking still holds under quantization."""
+    B, H, D, Lq, Lk, valid = 1, 2, 32, 64, 128, 70
+    q = _rand((B, Lq, H, D), 25)
+    k = _rand((B, Lk, H, D), 26)
+    v = _rand((B, Lk, H, D), 27)
+    bias = jnp.where(jnp.arange(Lk) < valid, 0.0, -jnp.inf)[None]
+    ref = jax.nn.dot_product_attention(q, k[:, :valid], v[:, :valid])
+    for quant in ("qk", "qk+av"):
+        out = fa.fused_attention(q, k, v, D**-0.5, jnp.float32, True,
+                                 kv_bias=bias, quant=quant)
+        rel = (np.abs(np.asarray(out) - np.asarray(ref)).max()
+               / np.abs(np.asarray(ref)).max())
+        assert rel < 0.06, f"{quant}: {rel}"

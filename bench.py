@@ -67,8 +67,13 @@ def _time_stage(name, fn, *args, iters=2):
     return dt
 
 
-def build_denoise():
-    """The DPM denoise stage (full-size DiT; guidance per GVF_BENCH_CFG)."""
+def build_denoise(method: str = "multistep"):
+    """The DPM denoise stage (full-size DiT; guidance per GVF_BENCH_CFG).
+
+    method="adaptive" runs the reference's shipped launch flag (--adaptive,
+    scripts/run_in_the_wild.sh:39 -> model/dpmsolver.py:973: order 2,
+    atol 0.0078, rtol 0.05) as a lax.while_loop; the jitted fn then returns
+    (x, info) with the measured NFE."""
     from gvfdiffusion_tpu.diffusion.dpm_solver import (
         DPMSolver, NoiseScheduleVP, model_wrapper,
     )
@@ -146,7 +151,8 @@ def build_denoise():
             guidance_scale=gs, guidance_scale2=gs2, cross_kv=kv,
         )
         solver = DPMSolver(model_fn, ns, algorithm_type="dpmsolver++")
-        return solver.sample(noise, steps=steps, order=2, method="multistep")
+        return solver.sample(noise, steps=steps, order=2, method=method,
+                             return_info=(method == "adaptive"))
 
     noise = jax.random.normal(ks[5], (B, T, N, C))
     return sample, noise, params, cond
@@ -204,8 +210,9 @@ def bench_e2e(full_pipeline: bool = False):
     if full_pipeline:
         from gvfdiffusion_tpu.models.modnet import MODNet
 
-        modnet = MODNet(dtype=dtype)
-        vid512 = jnp.asarray(rng.standard_normal((T_FRAMES, 512, 512, 3)), dtype)
+        modnet = MODNet()
+        vid512 = jnp.asarray(
+            rng.uniform(-1.0, 1.0, (T_FRAMES, 512, 512, 3)), jnp.float32)
         mparams = modnet.init(key, vid512[:1])
         mod_apply = jax.jit(lambda p, f: modnet.apply(p, f))
         stages["modnet_matting"] = _time_stage(

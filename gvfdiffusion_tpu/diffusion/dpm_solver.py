@@ -435,11 +435,14 @@ class DPMSolver:
         lower_order_final: bool = True,
         atol: float = 0.0078,
         rtol: float = 0.05,
+        return_info: bool = False,
     ) -> jnp.ndarray:
         t_0 = 1.0 / self.ns.total_N if t_end is None else t_end
         t_T = self.ns.T if t_start is None else t_start
         if method == "adaptive":
-            return self._sample_adaptive(x, order, t_T, t_0, atol=atol, rtol=rtol)
+            return self._sample_adaptive(
+                x, order, t_T, t_0, atol=atol, rtol=rtol,
+                return_info=return_info)
         if method in ("singlestep", "singlestep_fixed"):
             if method == "singlestep_fixed":
                 k = steps // order
@@ -541,6 +544,7 @@ class DPMSolver:
         theta: float = 0.9,
         t_err: float = 1e-5,
         max_iters: int = 200,
+        return_info: bool = False,
     ):
         """Adaptive step-size solver (orders 2-3), reference model/dpmsolver.py:973.
 
@@ -586,4 +590,8 @@ class DPMSolver:
         s0 = jnp.float32(t_T)
         state = (x, x, s0, jnp.float32(h_init), jnp.int32(0))
         x, _, _, _, iters = jax.lax.while_loop(cond, body, state)
+        if return_info:
+            # each iteration (accepted or rejected) costs `order` model calls
+            # (reference model/dpmsolver.py:1018 nfe += order)
+            return x, {"nfe": iters * order, "iters": iters}
         return x

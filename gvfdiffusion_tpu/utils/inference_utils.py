@@ -252,7 +252,8 @@ def create_spiral_timeline_video(
     loops: int = 2,
 ) -> bool:
     """Sweep the view index while time advances (reference :308-381).
-    Returns True if an mp4 was written (imageio available)."""
+    Returns True if an mp4 was written (imageio-ffmpeg or cv2 backend;
+    falls back to .npy when neither can encode)."""
     T, V = frames.shape[:2]
     n = T * loops
     seq = [
@@ -263,6 +264,20 @@ def create_spiral_timeline_video(
         import imageio
 
         imageio.mimsave(path, arr, fps=fps)
+        return True
+    except Exception:
+        pass
+    try:
+        import cv2
+
+        h, w = arr.shape[1:3]
+        vw = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        if not vw.isOpened():
+            raise RuntimeError("cv2.VideoWriter failed to open")
+        for f in arr:
+            vw.write(f[:, :, ::-1])  # RGB -> BGR
+        vw.release()
         return True
     except Exception:
         np.save(path + ".npy", arr)

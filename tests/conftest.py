@@ -25,3 +25,22 @@ assert jax.device_count() >= 8, (
     f"expected 8 virtual CPU devices, got {jax.device_count()} on "
     f"{jax.devices()[0].platform}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Test tiers. `fullsize` tests run the reference-configuration composed
+# goldens (12x512 DiT, 24x1024 TRELLIS flows, 64^3 grids) against torch on
+# CPU — many minutes each on one core — so the default loop skips them.
+# Run with GVF_FULLSIZE=1 python -m pytest tests/ -m fullsize.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("GVF_FULLSIZE") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="full-size golden; set GVF_FULLSIZE=1 to run")
+    for item in items:
+        if "fullsize" in item.keywords:
+            item.add_marker(skip)

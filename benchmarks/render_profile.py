@@ -93,6 +93,25 @@ def main():
     t = scan(lambda: binning.select_front(inter, depths, cursor_d, cursor_i, K)[:2])
     print(f"topk             {t*1e3:7.2f} ms", flush=True)
 
+    # 3b. binning internals: depth argsort / attribute gathers / rank index
+    #     build / rank select / final takes
+    t = scan(lambda: binning.depth_rank_order(depths, valid))
+    print(f"  sort           {t*1e3:7.2f} ms", flush=True)
+    order = jax.jit(lambda: binning.depth_rank_order(depths, valid))()
+    t = scan(lambda: [a[order] for a in (mean2d, cov2d, colors, op, depths)])
+    print(f"  attr_gather    {t*1e3:7.2f} ms", flush=True)
+    t = scan(lambda: binning.build_rank_index(inter))
+    print(f"  rank_build     {t*1e3:7.2f} ms", flush=True)
+    ri = jax.jit(lambda: binning.build_rank_index(inter))()
+    ri = ri._replace(n=int(inter.shape[1]))
+    lo = jnp.zeros((inter.shape[0],), jnp.int32)
+    t = scan(lambda: binning.rank_select(ri, lo, K))
+    print(f"  rank_select    {t*1e3:7.2f} ms", flush=True)
+    idx = jax.jit(lambda: binning.rank_select(ri, lo, K)[0])()
+    t = scan(lambda: [jnp.take(a, idx, axis=0)
+                      for a in (mean2d, conic, colors, op, depths)])
+    print(f"  bin_take       {t*1e3:7.2f} ms", flush=True)
+
     # 4. full bin (incl. gathers)
     t = scan(lambda: binning.bin_gaussians(
         mean2d, cov2d, colors, op, depths, valid, H, W, TILE, K))
@@ -112,6 +131,16 @@ def main():
     # 6. whole render
     t = scan(lambda: renderer.render(gs, cam)["render"])
     print(f"render_total     {t*1e3:7.2f} ms", flush=True)
+
+    # 7. adaptive multiround (early-exit while_loop): same K_eff = 256 as the
+    #    single-round path but per_round slices of 64 — saturated tiles stop
+    #    after T < 1e-4, so dense scenes blend far fewer than 256/px
+    for pr, rd in ((64, 4), (128, 2)):
+        r_ee = GaussianRenderer(RenderOptions(
+            near=0.1, far=10.0, bg_color=(1.0, 1.0, 1.0), use_mip=True,
+            backend="binned", max_per_tile=pr, rounds=rd, early_exit=True))
+        t = scan(lambda r=r_ee: r.render(gs, cam)["render"])
+        print(f"render_ee_{pr}x{rd} {t*1e3:7.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

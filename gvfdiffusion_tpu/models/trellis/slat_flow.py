@@ -91,7 +91,41 @@ class SparseResBlock3d(nn.Module):
         elif self.upsample:
             assert up_structure is not None, "upsample needs the paired structure"
             child_template, c2p = up_structure
-            x = sparse_upsample(x, child_template, c2p)
+            # Every child DUPLICATES its parent's features, so the whole
+            # prefix (norm1+silu, the conv1 projections, the skip linear)
+            # commutes with the upsample gather and runs at PARENT count —
+            # measured: the up-block was the single largest SLat-flow
+            # component (55 ms of a 203 ms 2B call, benchmarks/slat_profile)
+            # with conv1's 1024-wide child gathers dominating. Exact algebra,
+            # identical params (norm1/conv1/skip_connection names unchanged).
+            parent = x
+            if self.channels != out_ch:
+                skip_p = SparseLinear(
+                    out_ch, dtype=self.dtype, name="skip_connection")(parent)
+            else:
+                skip_p = parent
+            skip = sparse_upsample(skip_p, child_template, c2p)
+            if self.ablate_conv:
+                return skip, down_struct
+
+            emb_out = nn.Dense(
+                2 * out_ch, dtype=self.dtype, name="emb_layers",
+            )(nn.silu(emb))
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+
+            hp = SparseLayerNorm(affine=True, name="norm1")(parent)
+            hp = hp.map_feats(nn.silu)
+            h = SparseConv3d(out_ch, 3, dtype=self.dtype, name="conv1")(
+                child_template, parent=hp, c2p=c2p)
+            h = SparseLayerNorm(affine=False, name="norm2")(h)
+            h = h.replace_feats(h.feats * (1 + scale[:, None]) + shift[:, None])
+            h = h.map_feats(nn.silu)
+            h = SparseConv3d(
+                out_ch, 3, kernel_init=nn.initializers.zeros, dtype=self.dtype,
+                name="conv2",
+            )(h)
+            out = h + skip.feats
+            return out, down_struct
 
         if self.channels != out_ch:
             skip = SparseLinear(out_ch, dtype=self.dtype, name="skip_connection")(x)

@@ -46,9 +46,20 @@ class SparseConv3d(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: SparseVoxels) -> SparseVoxels:
+    def __call__(self, x: SparseVoxels, parent: SparseVoxels | None = None,
+                 c2p: jnp.ndarray | None = None) -> SparseVoxels:
+        """Standard call: conv over x's features.
+
+        Fused-upsample call (parent + c2p given): x is the CHILD structure
+        whose features are an upsample-gather of `parent` (every child
+        duplicates its parent's feature vector). Exploits that to run the
+        k^3 weight projections at PARENT count (project-then-gather):
+          out[c] = sum_k W[k] . parent_feat[c2p[slot(c+k)]] * exists(c+k)
+        — 4x fewer matmul FLOPs and 8x narrower gathers at the SLat-flow
+        up-block shapes (conv1 1024->128 measured 8.7 -> see BENCH_NOTES).
+        Numerically exact vs conv(upsample(parent))."""
         k = self.kernel_size
-        c_in = x.channels
+        c_in = parent.channels if parent is not None else x.channels
         n_off = k * k * k
         offsets = [
             (i - k // 2, j - k // 2, l - k // 2)
@@ -57,6 +68,32 @@ class SparseConv3d(nn.Module):
         w = self.param(
             "kernel", self.kernel_init, (n_off, c_in, self.features)
         ).astype(self.dtype)
+
+        if parent is not None:
+            assert c2p is not None
+            # z[k] = parent @ W[k] at parent count: ONE batched MXU matmul
+            z = jnp.einsum(
+                "bpc,kcf->bkpf", parent.feats.astype(self.dtype), w,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)                      # [B, K^3, P, F]
+            grid = x.index_grid()
+            out = jnp.zeros(x.feats.shape[:2] + (self.features,), jnp.float32)
+            for oi, off in enumerate(offsets):
+                if off == (0, 0, 0):
+                    slot = jnp.where(x.valid, jnp.arange(x.capacity)[None], -1)
+                else:
+                    slot = _neighbor_slots(x, grid, off)
+                pslot = jnp.take_along_axis(
+                    c2p, jnp.maximum(slot, 0), axis=1)
+                ok = (slot >= 0) & (pslot >= 0)
+                g = jnp.take_along_axis(
+                    z[:, oi], jnp.maximum(pslot, 0)[..., None], axis=1)
+                out = out + g * ok[..., None].astype(g.dtype)
+            out = out.astype(self.dtype)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros, (self.features,))
+                out = out + bias.astype(self.dtype)
+            return x.replace_feats(out)
 
         # NOTE: batching the K^3 gathers into one [B, L, K^3, C] tensor fed
         # to a single [L, K^3*C] x [K^3*C, F] einsum was MEASURED SLOWER

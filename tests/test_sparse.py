@@ -393,3 +393,29 @@ def test_flash_full_attention_matches_masked_path():
     np.testing.assert_allclose(
         np.asarray(got)[vm], np.asarray(expect)[vm], atol=2e-5
     )
+
+
+def test_fused_upsample_conv_matches_conv_of_upsample():
+    """SparseConv3d(child, parent=p, c2p=...) (project-then-gather, used by
+    the SLat-flow up-blocks) == SparseConv3d(sparse_upsample(p, child, c2p))
+    with the SAME kernel/bias — the fusion is exact algebra, not an
+    approximation."""
+    parent_full = random_sparse(jax.random.PRNGKey(7), b=2, l=48, c=6, res=8)
+    child = sparse_subdivide(parent_full)  # every child duplicates its parent
+    # rebuild the child->parent map the way the model carries it
+    from gvfdiffusion_tpu.sparse.ops import sparse_downsample
+
+    res = sparse_downsample(child, 2)
+    parent, c2p = res.parents, res.child_to_parent
+
+    mod = SparseConv3d(features=5, kernel_size=3)
+    params = mod.init(jax.random.PRNGKey(8), parent, parent=parent, c2p=c2p)
+
+    fused = mod.apply(params, child, parent=parent, c2p=c2p)
+    ref = mod.apply(params, sparse_upsample(parent, child, c2p))
+
+    cv = np.asarray(child.valid)
+    np.testing.assert_allclose(
+        np.asarray(fused.feats)[cv], np.asarray(ref.feats)[cv],
+        rtol=1e-5, atol=1e-5,
+    )

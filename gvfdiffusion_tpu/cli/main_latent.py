@@ -104,13 +104,15 @@ def main(argv=None):
     step_fn = jax.jit(make_train_step(model.apply, diffusion, tx,
                                       ema_rate=ema_rate))
 
+    from ..data.prefetch import Prefetcher
+
     with mesh:
         state = replicate(state, mesh)
+        # host IO + H2D run one batch ahead of the device (data/prefetch.py)
+        prefetch = Prefetcher(data, place_fn=lambda b: shard_batch(b, mesh))
         t_last = time.time()
         for step in range(int(state.step), cfg.train.total_steps):
-            batch = shard_batch(
-                {k: jnp.asarray(v) for k, v in next(data).items()}, mesh
-            )
+            batch = next(prefetch)
             state, metrics = step_fn(state, batch, jax.random.PRNGKey(step))
             if step % cfg.train.log_interval == 0:
                 jax.block_until_ready(metrics["loss"])
@@ -124,6 +126,7 @@ def main(argv=None):
                 logger.dumpkvs()
             if step > 0 and step % cfg.train.save_interval == 0:
                 ckpt.save(jax.device_get(state), step)
+        prefetch.close()
         ckpt.save(jax.device_get(state), cfg.train.total_steps, force=True)
     return 0
 

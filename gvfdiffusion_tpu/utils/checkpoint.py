@@ -30,6 +30,10 @@ class CheckpointManager:
         self._mgr = _manager(self.ckpt_dir, max_to_keep)
 
     def save(self, state: Any, step: int, force: bool = False) -> bool:
+        if step in self._mgr.all_steps():
+            # already on disk (e.g. resuming an already-finished run and
+            # hitting the final save again) — a no-op, not an error
+            return False
         saved = self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force
         )

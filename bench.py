@@ -361,9 +361,14 @@ def bench_e2e(full_pipeline: bool = False):
     _free(vparams, z)
 
     # ---- stage 9: 24-frame render sweep @512^2 ----------------------------
+    # inference rasterizer config: early-exit multiround (K_eff 128x2 = 256,
+    # tile 64) — same truncation depth as single-round K=256 and the
+    # reference CUDA rasterizer's T<1e-4 termination (forward.cu), measured
+    # 17.3 -> 11.0 ms/frame (benchmarks/render_ee_variants.py)
     renderer = GaussianRenderer(RenderOptions(
         near=0.1, far=10.0, bg_color=(1.0, 1.0, 1.0), use_mip=True,
-        backend="binned", max_per_tile=256,
+        backend="binned", max_per_tile=128, rounds=2, early_exit=True,
+        tile=64,
     ))
     cam = orbit_camera(0.3, 0.0, height=512, width=512)
 

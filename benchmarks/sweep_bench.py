@@ -48,10 +48,21 @@ def main():
         _opacity=jnp.zeros((N, 1), jnp.float32),
         aabb=aabb,
     )
-    renderer = GaussianRenderer(RenderOptions(
-        near=0.1, far=10.0, bg_color=(1.0, 1.0, 1.0), use_mip=True,
-        backend="binned", max_per_tile=256,
-    ))
+    # inference configuration: early-exit multiround (K_eff = 128x2 = 256,
+    # tile 64) — same truncation depth as the old single-round K=256, same
+    # T<1e-4 termination rule as the reference CUDA rasterizer, 17.3 ->
+    # 11.0 ms/frame (benchmarks/render_ee_variants.py). GVF_SWEEP_1ROUND=1
+    # measures the single-round differentiable path instead.
+    if os.environ.get("GVF_SWEEP_1ROUND") == "1":
+        opts = RenderOptions(
+            near=0.1, far=10.0, bg_color=(1.0, 1.0, 1.0), use_mip=True,
+            backend="binned", max_per_tile=256)
+    else:
+        opts = RenderOptions(
+            near=0.1, far=10.0, bg_color=(1.0, 1.0, 1.0), use_mip=True,
+            backend="binned", max_per_tile=128, rounds=2, early_exit=True,
+            tile=64)
+    renderer = GaussianRenderer(opts)
 
     azimuths = np.arange(0, 360, 360 / V)
     cams = [orbit_camera(0.0, np.deg2rad(a), radius=2.0, height=H, width=W)

@@ -68,7 +68,13 @@ def quat_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_covariance(scaling: jnp.ndarray, rotation: jnp.ndarray) -> jnp.ndarray:
-    """3DGS covariance: R diag(s^2) R^T from [...,3] scales + [...,4] quats."""
+    """3DGS covariance: R diag(s^2) R^T from [...,3] scales + [...,4] quats.
+
+    Expanded elementwise (broadcast-multiply + lane reduce) rather than an
+    einsum: batched 3x3 matmuls with the gaussian count as the batch lower
+    to per-element dot_generals that vectorize poorly on TPU."""
     r = quat_to_rotmat(rotation)
-    s2 = scaling**2
-    return jnp.einsum("...ij,...j,...kj->...ik", r, s2, r)
+    rs = r * (scaling**2)[..., None, :]          # R diag(s²)   [..., 3, 3]
+    return jnp.sum(
+        rs[..., :, None, :] * r[..., None, :, :], axis=-1
+    )                                            # (R diag(s²)) Rᵀ

@@ -196,8 +196,12 @@ def bin_gaussians(
     max_per_tile: int = 256,
 ) -> BinnedGaussians:
     order = depth_rank_order(depths, valid)
-    mean2d, cov2d, colors = mean2d[order], cov2d[order], colors[order]
-    opacities, depths, valid = opacities[order], depths[order], valid[order]
+    # only the intersection inputs get the full-N sorted gather; colors and
+    # depths are consumed exclusively at take-time, so their sort composes
+    # into the (tiny) per-tile index gather instead — 4 of the 11 gathered
+    # floats per view never touch HBM at full N
+    mean2d, cov2d = mean2d[order], cov2d[order]
+    opacities, valid = opacities[order], valid[order]
     inter, conic, n_ty, n_tx = intersect_tiles(
         mean2d, cov2d, opacities, valid, height, width, tile
     )
@@ -206,12 +210,13 @@ def bin_gaussians(
     lo = jnp.zeros((inter.shape[0],), jnp.int32)
     idx, mask = rank_select(ri, lo, max_per_tile)
     take = lambda a: jnp.take(a, idx, axis=0)
+    sid = jnp.take(order, idx)  # composed: sorted-space -> original column
     return BinnedGaussians(
         mean2d=take(mean2d),
         conic=take(conic),
-        color=take(colors),
+        color=jnp.take(colors, sid, axis=0),
         opacity=jnp.where(mask, take(opacities), 0.0),
-        depth=take(depths),
+        depth=jnp.take(depths, sid, axis=0),
         mask=mask,
         n_tiles_y=n_ty,
         n_tiles_x=n_tx,

@@ -117,8 +117,11 @@ def blend_tiles_multiround(
     from .binning import RankIndex, build_rank_index, depth_rank_order, rank_select
 
     order = depth_rank_order(depths, valid)
-    mean2d, cov2d, colors = mean2d[order], cov2d[order], colors[order]
-    opacities, depths, valid = opacities[order], depths[order], valid[order]
+    # colors/depths skip the full-N sorted gather: they are consumed only at
+    # per-round take-time, where the sort composes into the k-sized index
+    # gather (see bin_gaussians)
+    mean2d, cov2d = mean2d[order], cov2d[order]
+    opacities, valid = opacities[order], valid[order]
     inter, conic, n_ty, n_tx = intersect_tiles(
         mean2d, cov2d, opacities, valid, height, width, tile
     )
@@ -137,8 +140,9 @@ def blend_tiles_multiround(
         idx, mask = idx[0], mask[0]
         take = lambda a: jnp.take(a, idx, axis=0)  # [k, ...]
         m2d, con = take(mean2d), take(conic)
-        col, opa = take(colors), jnp.where(mask, take(opacities), 0.0)
-        dth = take(depths)
+        opa = jnp.where(mask, take(opacities), 0.0)
+        sid = jnp.take(order, idx)
+        col, dth = jnp.take(colors, sid, axis=0), jnp.take(depths, sid, axis=0)
         px = px_loc + ox  # [P]
         py = py_loc + oy
         dx = px[:, None] - m2d[None, :, 0]  # [P, k]

@@ -29,6 +29,7 @@ def project_gaussians(
     camera: Camera,
     kernel_size_2d: float = 0.3,
     mip: bool = False,
+    cov3d: jnp.ndarray = None,
 ):
     """Project to screen space.
 
@@ -55,17 +56,28 @@ def project_gaussians(
     txz = jnp.clip(t[:, 0] / tz, -lim_x, lim_x) * tz
     tyz = jnp.clip(t[:, 1] / tz, -lim_y, lim_y) * tz
 
-    zeros = jnp.zeros_like(tz)
-    j = jnp.stack(
-        [
-            jnp.stack([fx / tz, zeros, -fx * txz / tz**2], -1),
-            jnp.stack([zeros, fy / tz, -fy * tyz / tz**2], -1),
-        ],
-        axis=-2,
-    )  # [N, 2, 3]
     w = w2c[:3, :3]
-    cov3d = build_covariance(scales, rotations)  # [N,3,3]
-    cov2d = jnp.einsum("nij,jk,nkl,ml,nom->nio", j, w, cov3d, w, j)
+    if cov3d is None:
+        # [N,3,3]; render_views precomputes this once — it is the one
+        # view-independent piece of the projection (multi-view sweeps
+        # otherwise rebuild it per view inside the lax.map body)
+        cov3d = build_covariance(scales, rotations)
+    # J W Σ Wᵀ Jᵀ expanded to ELEMENTWISE arithmetic: the Jacobian J is a
+    # [N,2,3] with only 4 nonzero entries, so the chain is two [N,3]
+    # row-combinations of W followed by quadratic forms over the symmetric
+    # Σ — all lane-parallel VPU ops. (The one-einsum form lowers to batched
+    # 2x3 matmuls with N as the batch: 131k tiny dot_generals that map onto
+    # neither MXU tiles nor clean VPU code.)
+    ja = (fx / tz)[:, None] * w[0] - (fx * txz / tz**2)[:, None] * w[2]  # [N,3]
+    jb = (fy / tz)[:, None] * w[1] - (fy * tyz / tz**2)[:, None] * w[2]
+    sa = jnp.sum(cov3d * ja[:, None, :], axis=-1)  # Σ·a  [N,3]
+    sb = jnp.sum(cov3d * jb[:, None, :], axis=-1)
+    c00 = jnp.sum(sa * ja, axis=-1)
+    c01 = jnp.sum(sa * jb, axis=-1)
+    c11 = jnp.sum(sb * jb, axis=-1)
+    cov2d = jnp.stack(
+        [jnp.stack([c00, c01], -1), jnp.stack([c01, c11], -1)], axis=-2
+    )  # [N, 2, 2]
 
     if mip:
         det_raw = (

@@ -28,6 +28,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
+from ..ops.quaternion import build_covariance
 from ..ops.rasterize.binning import bin_gaussians
 from ..ops.rasterize.xla_blend import blend_tiles, blend_tiles_multiround
 from ..ops.sh import rgb_from_sh_dc
@@ -114,13 +115,13 @@ class GaussianRenderer:
         return xyz, scaling, rotation, colors, opacity[..., 0]
 
     def _render_activated(self, xyz, scaling, rotation, colors, opac0, cam,
-                          bg, valid):
+                          bg, valid, cov3d=None):
         """Per-camera projection + binning + blend on activated attributes."""
         opt = self.options
         proj = rr.project_gaussians(
             xyz, scaling, rotation, cam,
             kernel_size_2d=opt.kernel_size_2d if opt.use_mip else 0.3,
-            mip=opt.use_mip,
+            mip=opt.use_mip, cov3d=cov3d,
         )
         opac = opac0 * proj["compensation"]
         v = proj["in_front"]
@@ -179,12 +180,16 @@ class GaussianRenderer:
         xyz, scaling, rotation, colors, opac0 = self._activate(
             gs, delta, detach_static, override_color
         )
+        # the world-space covariance is the view-independent half of the
+        # projection: build it ONCE here instead of per lax.map step
+        cov3d = build_covariance(scaling, rotation)
 
         def one(wv_intr):
             wv, intr = wv_intr
             cam = cam0.replace(world_view=wv, intrinsics=intr)
             out = self._render_activated(
-                xyz, scaling, rotation, colors, opac0, cam, bg, valid
+                xyz, scaling, rotation, colors, opac0, cam, bg, valid,
+                cov3d=cov3d,
             )
             return self._downsample(out, opt.ssaa)
 

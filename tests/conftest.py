@@ -26,6 +26,16 @@ assert jax.device_count() >= 8, (
     f"{jax.devices()[0].platform}"
 )
 
+if os.environ.get("GVF_FULLSIZE") == "1":
+    # the reference-config goldens compile 24x1024 flow transformers on one
+    # CPU core — many minutes each; persist the XLA programs so interrupted
+    # or repeated runs resume instead of recompiling
+    _cache = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                          ".jax_cache")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 # ---------------------------------------------------------------------------
 # Test tiers. `fullsize` tests run the reference-configuration composed

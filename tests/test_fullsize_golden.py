@@ -30,6 +30,8 @@ rendered-frame BASELINE target (real checkpoints need network egress).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -375,12 +377,20 @@ def test_trellis_fullsize_golden():
         return {a: np.asarray(getattr(m_gs, a), np.float32)[0, : n_occ * 8]
                 for a in attrs}
 
-    m32 = run_chain(jnp.float32)
-    for a in attrs:
-        r = _drift(f"trellis fp32 {a}", t_attrs[a], m32[a])
-        assert r["psnr"] > 40.0, f"fp32 {a} drift"
+    # each dtype chain compiles the 24x1024 flow models from scratch
+    # (~40 min on this image's one CPU core); GVF_FULLSIZE_DTYPES lets a
+    # wall-clock-bounded run do one chain at a time ("fp32", "bf16", or
+    # the default "fp32,bf16")
+    dtypes = os.environ.get("GVF_FULLSIZE_DTYPES", "fp32,bf16").split(",")
 
-    m16 = run_chain(jnp.bfloat16, inject_occupancy=True)
-    for a in attrs:
-        r = _drift(f"trellis bf16 {a}", t_attrs[a], m16[a])
-        assert r["psnr"] > 18.0, f"bf16 {a} drift"
+    if "fp32" in dtypes:
+        m32 = run_chain(jnp.float32)
+        for a in attrs:
+            r = _drift(f"trellis fp32 {a}", t_attrs[a], m32[a])
+            assert r["psnr"] > 40.0, f"fp32 {a} drift"
+
+    if "bf16" in dtypes:
+        m16 = run_chain(jnp.bfloat16, inject_occupancy=True)
+        for a in attrs:
+            r = _drift(f"trellis bf16 {a}", t_attrs[a], m16[a])
+            assert r["psnr"] > 18.0, f"bf16 {a} drift"

@@ -28,7 +28,12 @@ from ..utils import logger
 from ..utils.config import load_config
 
 
-def main(argv=None):
+def build_parser() -> argparse.ArgumentParser:
+    """Flag surface pinned to the reference launch (reference
+    inference_dpm_latent.py:276-316 defaults; scripts/run_in_the_wild.sh:39
+    passes --adaptive --use_fp16 --num_timesteps 32 and NO guidance flags,
+    so guidance defaults MUST be 1.0/1.0 — the single-conditional-pass CFG
+    branch, reference model/dpmsolver.py:329-330)."""
     p = argparse.ArgumentParser()
     p.add_argument("--config", default=None)
     p.add_argument("--input", required=True,
@@ -36,14 +41,43 @@ def main(argv=None):
     p.add_argument("--output_dir", default="out_4d")
     p.add_argument("--dit_ckpt", default=None)
     p.add_argument("--vae_ckpt", default=None)
-    p.add_argument("--steps", type=int, default=100)
+    # reference name for the respaced solver step count (its default 100);
+    # --steps is kept as an alias and must agree if both are given
+    p.add_argument("--rescale_timesteps", type=int, default=100)
+    p.add_argument("--steps", type=int, default=None)
     p.add_argument("--order", type=int, default=2)
     p.add_argument("--adaptive", action="store_true")
-    p.add_argument("--guidance_scale", type=float, default=2.0)
-    p.add_argument("--guidance_scale2", type=float, default=5.0)
+    p.add_argument("--guidance_scale", type=float, default=1.0)
+    p.add_argument("--guidance_scale2", type=float, default=1.0)
+    # accepted for launch-script compatibility: frame count actually comes
+    # from the input npz (validated against this when given)
+    p.add_argument("--num_timesteps", type=int, default=None)
+    # bf16 is the TPU equivalent of the reference's fp16 autocast and is
+    # already the kernels' compute dtype; accepted so the shipped launch
+    # line parses unchanged
+    p.add_argument("--use_fp16", action="store_true")
     p.add_argument("--num_views", type=int, default=128)
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def pipeline_config_from_args(args, num_frames: int, num_latents: int,
+                              latent_dim: int) -> VideoTo4DConfig:
+    """args -> VideoTo4DConfig, the mapping the CLI test pins."""
+    steps = args.steps if args.steps is not None else args.rescale_timesteps
+    return VideoTo4DConfig(
+        steps=steps, order=args.order,
+        method="adaptive" if args.adaptive else "multistep",
+        guidance_scale=args.guidance_scale,
+        guidance_scale2=args.guidance_scale2,
+        num_frames=num_frames, num_latents=num_latents,
+        latent_dim=latent_dim,
+    )
+
+
+def main(argv=None):
+    p = build_parser()
     args, overrides = p.parse_known_args(argv)
     cfg = load_config(args.config, overrides)
     logger.configure(args.output_dir)
@@ -52,6 +86,9 @@ def main(argv=None):
     canonical_gs = jnp.asarray(data["canonical_gs"], jnp.float32)[None]
     cond_images = jnp.asarray(data["cond_images"], jnp.float32)[None]
     gs_valid = jnp.ones(canonical_gs.shape[:2], bool)
+    if args.num_timesteps is not None and args.num_timesteps != cond_images.shape[1]:
+        p.error(f"--num_timesteps {args.num_timesteps} != input frame count "
+                f"{cond_images.shape[1]}")
 
     m = cfg.model
     dit = DiT(
@@ -103,12 +140,9 @@ def main(argv=None):
         logger.log("no checkpoints given — using random init (smoke mode)")
         dit_params, vae_params = init_params()
 
-    pipe_cfg = VideoTo4DConfig(
-        steps=args.steps, order=args.order,
-        method="adaptive" if args.adaptive else "multistep",
-        guidance_scale=args.guidance_scale,
-        guidance_scale2=args.guidance_scale2,
-        num_frames=T, num_latents=m.resolution, latent_dim=m.in_channels,
+    pipe_cfg = pipeline_config_from_args(
+        args, num_frames=T, num_latents=m.resolution,
+        latent_dim=m.in_channels,
     )
     pipeline = VideoTo4DPipeline(
         dit, dit_params, vae, vae_params, pipe_cfg,

@@ -35,8 +35,10 @@ class VideoTo4DConfig:
     steps: int = 100           # respaced NFE budget (reference --rescale_timesteps 100)
     order: int = 2
     method: str = "multistep"  # or "adaptive"
-    guidance_scale: float = 2.0
-    guidance_scale2: float = 5.0
+    # reference inference_dpm_latent.py:310-311 defaults (1.0/1.0 selects the
+    # single-conditional-pass CFG branch, model/dpmsolver.py:329-330)
+    guidance_scale: float = 1.0
+    guidance_scale2: float = 1.0
     noise_schedule: str = "cosine"
     diffusion_steps: int = 1000
     num_frames: int = 32

@@ -92,6 +92,65 @@ def _head_block(num_heads: int, head_dim: int) -> int:
     return num_heads  # lanes == H*D (full-array block; always legal)
 
 
+# Dense-packed head dispatch (round 5): the per-head loop below slices 32 of
+# 256 lanes per head and issues 32-deep NT matmuls — 25% MXU depth plus
+# sub-lane extract/insert relayouts, measured 17-22 TF/s vs the ~49 TF/s
+# structural ceiling. The dense-packed path instead computes, per 128-lane
+# group, S_h = dot(where(lane//D == h, q, 0), k) over the FULL 128-lane
+# contraction: the masked-out lanes contribute exactly 0, so the result is
+# bit-identical math, but every matmul is a full-width dense MXU op with no
+# lane slicing. AV likewise runs P_h @ V at full lane width and selects head
+# h's output block. MAC count is 128/D x the useful work — the same waste the
+# ceiling argument already prices in — issued at full MXU rate.
+_DENSE_PACKED = True
+
+
+def _attn_kernel_dense(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
+                       head_dim: int, compute_dtype, segment_size: int = 0):
+    # refs: q/o [1, Lq, hb*D]; k/v [1, Lk_pad, hb*D]; bias [1, 1, Lk_pad].
+    # Requires 128 % head_dim == 0 (dispatch guarantees it).
+    lanes = q_ref.shape[2]
+    hpg = _LANES // head_dim  # heads per 128-lane group
+    bias = bias_ref[0, 0, :]
+    seg_mask = None
+    if segment_size:
+        row_off = pl.program_id(2) * q_ref.shape[1]
+        shape = (q_ref.shape[1], k_ref.shape[1])
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row_off
+        col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        seg_mask = row // segment_size == col // segment_size
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1) // head_dim
+    for g in range(lanes // _LANES):
+        gsl = slice(g * _LANES, (g + 1) * _LANES)
+        q = q_ref[0, :, gsl].astype(compute_dtype)  # [Lq, 128]
+        k = k_ref[0, :, gsl].astype(compute_dtype)  # [Lk_pad, 128]
+        v = v_ref[0, :, gsl].astype(compute_dtype)
+        o_acc = jnp.zeros((q.shape[0], _LANES), jnp.float32)
+        d_acc = jnp.zeros((q.shape[0], _LANES), jnp.float32)
+        for h in range(hpg):
+            sel = lane == h
+            qm = jnp.where(sel, q, jnp.zeros((), compute_dtype))
+            s = jax.lax.dot_general(
+                qm, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Lq, Lk_pad] — full 128-deep contraction, head-exact
+            s = s * (scale * _LOG2E) - bias[None, :]
+            if seg_mask is not None:
+                s = jnp.where(seg_mask, s, -jnp.inf)
+            p32 = jnp.exp2(s)
+            denom = jnp.sum(p32, axis=-1, keepdims=True)  # [Lq, 1]
+            o_h = jax.lax.dot_general(
+                p32.astype(compute_dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Lq, 128]; only head h's D-lane block is meaningful
+            o_acc = o_acc + jnp.where(sel, o_h, 0.0)
+            d_acc = d_acc + jnp.where(sel, denom, 0.0)
+        # max() keeps fully-masked query rows finite (0/eps = 0) — the
+        # sparse callers' contract is garbage-but-finite on invalid rows.
+        o_ref[0, :, gsl] = (o_acc / jnp.maximum(d_acc, 1e-30)).astype(
+            o_ref.dtype)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
                  head_dim: int, compute_dtype, segment_size: int = 0,
                  quant: str = ""):
@@ -225,11 +284,19 @@ def _fused_attention_fwd_impl(
     # array's last two dims (Pallas requires 8/128-divisible OR full-extent)
     bias = jnp.broadcast_to(col_pad, (B, lk_pad)).astype(jnp.float32)
     bias = bias[:, None, :]
-    kernel = functools.partial(
-        _attn_kernel, scale=scale, head_dim=D,
-        compute_dtype=compute_dtype, segment_size=segment_size,
-        quant=(quant if _FORCE_QUANT is None else _FORCE_QUANT),
-    )
+    eff_quant = quant if _FORCE_QUANT is None else _FORCE_QUANT
+    if (_DENSE_PACKED and not eff_quant and _LANES % D == 0
+            and (hb * D) % _LANES == 0):
+        kernel = functools.partial(
+            _attn_kernel_dense, scale=scale, head_dim=D,
+            compute_dtype=compute_dtype, segment_size=segment_size,
+        )
+    else:
+        kernel = functools.partial(
+            _attn_kernel, scale=scale, head_dim=D,
+            compute_dtype=compute_dtype, segment_size=segment_size,
+            quant=eff_quant,
+        )
     out = pl.pallas_call(
         kernel,
         grid=(B, H // hb, lq_pad // lq_blk),

@@ -4,12 +4,135 @@ block, final layer (reference: model/dit.py:128-304).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .attention import MultiHeadAttention
+from ..ops import fused_sublayer as fsl
+
+def _fused_mode() -> str:
+    """GVF_FUSED env (read per call so tests can switch):
+    "auto": fused sublayer kernels on TPU when shapes support them
+    (inference hot path; one HBM round-trip per sublayer — see
+    ops/fused_sublayer.py); "off": always the composed XLA path;
+    "interpret": force fused kernels in Pallas interpret mode (CPU tests
+    exercise the exact fused code path)."""
+    mode = os.environ.get("GVF_FUSED", "auto")
+    if mode in ("off", "interpret"):
+        return mode
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    return "on" if on_tpu else "off"
+
+
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's exact tree (kernel/bias names,
+    shapes, inits) — lets the fused-sublayer kernels read raw weights while
+    staying checkpoint-interchangeable with the composed module path."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else jnp.zeros((self.features,)))
+        return kernel, bias
+
+
+class _GammaParams(nn.Module):
+    """MultiHeadRMSNorm's gamma, returned as the lane vector the fused
+    kernels consume: gamma.flatten() * sqrt(dim)."""
+
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self):
+        gamma = self.param("gamma", nn.initializers.ones,
+                           (self.heads, self.dim))
+        return gamma.reshape(-1) * (self.dim ** 0.5)
+
+
+class _AffineLNParams(nn.Module):
+    """flax LayerNorm's scale/bias params (affine pre-norms norm3/norm4)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.features,)),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
+
+
+class _SelfAttnParams(nn.Module):
+    """Param tree mirror of MultiHeadAttention(attn_type='self')."""
+
+    channels: int
+    num_heads: int
+    qkv_bias: bool = True
+    qk_rms_norm: bool = False
+
+    @nn.compact
+    def __call__(self):
+        C = self.channels
+        D = C // self.num_heads
+        wqkv, bqkv = _DenseParams(C, 3 * C, self.qkv_bias, name="to_qkv")()
+        if self.qk_rms_norm:
+            qg = _GammaParams(D, self.num_heads, name="q_rms_norm")()
+            kg = _GammaParams(D, self.num_heads, name="k_rms_norm")()
+        else:
+            qg = kg = jnp.ones((C,))
+        wo, bo = _DenseParams(C, C, True, name="to_out")()
+        return wqkv, bqkv, qg, kg, wo, bo
+
+
+class _CrossAttnParams(nn.Module):
+    """Param tree mirror of MultiHeadAttention(attn_type='cross') minus the
+    to_kv projection (the sampler's loop-invariant KV cache owns that)."""
+
+    channels: int
+    num_heads: int
+    qkv_bias: bool = True
+    qk_rms_norm: bool = False
+
+    @nn.compact
+    def __call__(self):
+        C = self.channels
+        D = C // self.num_heads
+        wq, bq = _DenseParams(C, C, self.qkv_bias, name="to_q")()
+        qg = (_GammaParams(D, self.num_heads, name="q_rms_norm")()
+              if self.qk_rms_norm else jnp.ones((C,)))
+        wo, bo = _DenseParams(C, C, True, name="to_out")()
+        return wq, bq, qg, wo, bo
+
+
+class _MlpParams(nn.Module):
+    """Param tree mirror of FeedForwardNet."""
+
+    channels: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self):
+        C = self.channels
+        M = int(C * self.mlp_ratio)
+        w1, b1 = _DenseParams(C, M, True, name="mlp_0")()
+        w2, b2 = _DenseParams(M, C, True, name="mlp_2")()
+        return w1, b1, w2, b2
 
 
 class FeedForwardNet(nn.Module):
@@ -108,6 +231,22 @@ class ModulatedTransformerCrossBlock(nn.Module):
                     dtype=self.dtype, name="static_cross_attn",
                 )(None, static_latent.reshape(-1, static_latent.shape[2], C),
                   kv_only=True)
+            if (os.environ.get("GVF_KV_QUANT") == "int8"
+                    and _fused_mode() != "off"
+                    and img_kv is not None and static_kv is not None):
+                # int8 KV cache (per-token-per-head scales): quantize ONCE
+                # here; the fused cross kernel dequants in VMEM per use.
+                # The KV re-read is the denoise loop's largest HBM stream.
+                def q(kv):
+                    k, v = kv
+                    bt, lk = k.shape[0], k.shape[1]
+                    kq, ks = fsl.quantize_kv(k.reshape(bt, lk, C),
+                                             self.num_heads)
+                    vq, vs = fsl.quantize_kv(v.reshape(bt, lk, C),
+                                             self.num_heads)
+                    return kq, vq, ks, vs
+
+                return q(img_kv), q(static_kv)
             return img_kv, static_kv
 
         if self.share_mod:
@@ -132,6 +271,21 @@ class ModulatedTransformerCrossBlock(nn.Module):
             (sh_s, sc_s, g_s, sh_t, sc_t, g_t, sh_m, sc_m, g_m) = chunks
 
         B, T, N, _ = x.shape
+
+        fmode = _fused_mode()
+        if (fmode != "off" and not self.ablate and not self.use_rope
+                and cross_kv is not None
+                and cross_kv[0] is not None and cross_kv[1] is not None
+                and fsl.self_sublayer_supports(B * T, N, C, self.num_heads)
+                and (self.no_temporal_attn or fsl.temporal_sublayer_supports(
+                    B, T, N, C, self.num_heads))
+                and fsl.cross_sublayer_supports(
+                    B * T, N, C, self.num_heads,
+                    cross_kv[0][0].shape[1], cross_kv[1][0].shape[1])
+                and fsl.mlp_sublayer_supports(
+                    B * T, N, C, int(C * self.mlp_ratio))):
+            return self._fused_call(x, chunks, cross_kv,
+                                    interpret=(fmode == "interpret"))
 
         # spatial self attention (over N, batched across B*T)
         if "spatial" not in self.ablate:
@@ -164,6 +318,25 @@ class ModulatedTransformerCrossBlock(nn.Module):
 
         # image cross attention (un-gated, affine pre-norm — reference :263-266)
         img_kv, static_kv = cross_kv if cross_kv is not None else (None, None)
+
+        def _maybe_dequant(kv):
+            # int8 cache built for the fused path but this call fell back to
+            # the composed path (unsupported shape / GVF_FUSED=off):
+            # dequantize to the plain (k, v) [BT, Lk, H, D] cache format
+            if kv is not None and len(kv) == 4:
+                kq, vq, ks, vs = kv
+                bt, lk = kq.shape[0], kq.shape[1]
+                D = C // self.num_heads
+                return (
+                    fsl.dequantize_kv(kq, ks).astype(self.dtype).reshape(
+                        bt, lk, self.num_heads, D),
+                    fsl.dequantize_kv(vq, vs).astype(self.dtype).reshape(
+                        bt, lk, self.num_heads, D),
+                )
+            return kv
+
+        img_kv = _maybe_dequant(img_kv)
+        static_kv = _maybe_dequant(static_kv)
         if "img_cross" not in self.ablate:
             h = _ln("norm3", affine=True, out_dtype=self.dtype)(x)
             h = MultiHeadAttention(
@@ -199,6 +372,90 @@ class ModulatedTransformerCrossBlock(nn.Module):
             h = modulate(h, sh_m, sc_m)
             h = FeedForwardNet(C, self.mlp_ratio, dtype=self.dtype, name="mlp")(h)
             x = x + h * g_m[:, None, None, :]
+        return x
+
+    def _fused_call(self, x, chunks, cross_kv, interpret: bool):
+        """Fused-sublayer path: each sublayer is ONE Pallas kernel with
+        VMEM-resident weights (ops/fused_sublayer.py) — same parameter tree,
+        same math, one HBM round-trip of the residual stream per sublayer."""
+        C = self.channels
+        H = self.num_heads
+        dt = self.dtype
+        B, T, N, _ = x.shape
+        if self.no_temporal_attn:
+            (sh_s, sc_s, g_s, sh_m, sc_m, g_m) = chunks
+            sh_t = sc_t = g_t = None
+        else:
+            (sh_s, sc_s, g_s, sh_t, sc_t, g_t, sh_m, sc_m, g_m) = chunks
+        w = lambda a: a.astype(dt)
+        # measurement-only (benchmarks): skip individual fused kernels so
+        # whole-program deltas attribute in-situ cost. NEVER set in configs.
+        skip = set(os.environ.get("GVF_FUSED_ABLATE", "").split(","))
+
+        # spatial self attention (norm1 is non-affine, fused into the kernel)
+        wqkv, bqkv, qg, kg, wo, bo = _SelfAttnParams(
+            C, H, self.qkv_bias, self.qk_rms_norm, name="spatial_self_attn")()
+        if "spatial" not in skip:
+            x = fsl.fused_self_sublayer(
+                x.reshape(B * T, N, C), w(sh_s), w(sc_s), w(g_s), w(wqkv),
+                w(bqkv), w(qg), w(kg), w(wo), w(bo), num_heads=H,
+                rms=self.qk_rms_norm, compute_dtype=dt, mod_repeat=T,
+                interpret=interpret,
+            ).reshape(B, T, N, C)
+
+        # temporal self attention in the native [B, T, N, C] layout
+        if not self.no_temporal_attn and "temporal" not in skip:
+            wqkv, bqkv, qg, kg, wo, bo = _SelfAttnParams(
+                C, H, self.qkv_bias, self.qk_rms_norm,
+                name="temporal_self_attn")()
+            x = fsl.fused_temporal_sublayer(
+                x, w(sh_t), w(sc_t), w(g_t), w(wqkv), w(bqkv), w(qg), w(kg),
+                w(wo), w(bo), num_heads=H, rms=self.qk_rms_norm,
+                compute_dtype=dt, interpret=interpret,
+            )
+
+        # image + static cross attention, chained in one kernel
+        img_kv, static_kv = cross_kv
+        n3 = _AffineLNParams(C, name="norm3")()
+        wq1, bq1, qg1, wo1, bo1 = _CrossAttnParams(
+            C, H, self.qkv_bias, self.qk_rms_norm_cross,
+            name="image_cross_attn")()
+        n4 = _AffineLNParams(C, name="norm4")()
+        wq2, bq2, qg2, wo2, bo2 = _CrossAttnParams(
+            C, H, self.qkv_bias, self.qk_rms_norm_cross,
+            name="static_cross_attn")()
+        quant = len(img_kv) == 4
+
+        def pack(kv):
+            if len(kv) == 4:  # int8 cache: already lane-packed + scales
+                return kv
+            return (kv[0].reshape(kv[0].shape[0], kv[0].shape[1], C),
+                    kv[1].reshape(kv[1].shape[0], kv[1].shape[1], C))
+
+        def wkv(kv):
+            if len(kv) == 4:
+                return kv  # int8 values + bf16 scales, stored as-is
+            return (w(kv[0]), w(kv[1]))
+
+        if "cross" not in skip:
+            x = fsl.fused_cross_sublayer(
+                x.reshape(B * T, N, C),
+                (w(n3[0]), w(n3[1]), w(wq1), w(bq1), w(qg1), w(wo1), w(bo1)),
+                wkv(pack(img_kv)),
+                (w(n4[0]), w(n4[1]), w(wq2), w(bq2), w(qg2), w(wo2), w(bo2)),
+                wkv(pack(static_kv)),
+                num_heads=H, rms=self.qk_rms_norm_cross, compute_dtype=dt,
+                quant=quant, interpret=interpret,
+            ).reshape(B, T, N, C)
+
+        # MLP
+        w1, b1, w2, b2 = _MlpParams(C, self.mlp_ratio, name="mlp")()
+        if "mlp" not in skip:
+            x = fsl.fused_mlp_sublayer(
+                x.reshape(B * T, N, C), w(sh_m), w(sc_m), w(g_m), w(w1),
+                w(b1), w(w2), w(b2), compute_dtype=dt, mod_repeat=T,
+                interpret=interpret,
+            ).reshape(B, T, N, C)
         return x
 
 

@@ -211,13 +211,18 @@ def render_sweep(
     resolution: int = 512,
     pitch_deg: float = 20.0,
     radius: float = 2.0,
+    on_timestep=None,
 ) -> np.ndarray:
     """T x V orbit renders (reference render_and_save_images :209-306).
 
     TPU-first: each frame t runs ONE batched program over all V views
     (GaussianRenderer.render_views) — the delta application + activation are
     shared across views and the per-dispatch floor is paid once per frame,
-    not once per (t, v) render like the reference's CUDA loop."""
+    not once per (t, v) render like the reference's CUDA loop.
+
+    on_timestep(t, frames_t): host callback invoked as each timestep's
+    [V, H, W, 3] frames land — a StreamingVideoWriter here overlaps the mp4
+    encode with the device rendering of the next timestep."""
     T = 1 if deltas is None else deltas.shape[0]
     cams = [
         orbit_camera(360.0 * v / num_views, pitch_deg, radius=radius,
@@ -242,7 +247,86 @@ def render_sweep(
             out[t] = np.asarray(render_static())
         else:
             out[t] = np.asarray(render_t(deltas[t]))
+        if on_timestep is not None:
+            on_timestep(t, out[t])
     return out
+
+
+class StreamingVideoWriter:
+    """Incremental mp4 writer on a background thread: the host x264/mp4v
+    encode runs WHILE the device renders the next frames, instead of
+    serialized after all device work (the round-4 full-driver wall was 41%
+    idle-host video encode — reference utils/inference_utils.py:308-381 pays
+    the same serialization).
+
+    Frames are float [H, W, 3] in [0, 1] (or uint8). cv2 is the primary
+    backend (present + fast in this image; imageio has no mp4 backend here);
+    falls back to collecting frames for a .npy dump."""
+
+    def __init__(self, path: str, fps: int = 15):
+        import queue
+        import threading
+
+        self.path = path
+        self.fps = fps
+        self._q: "queue.Queue" = queue.Queue(maxsize=64)
+        self._err = None
+        self._fallback_frames = []
+        self._vw = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    @staticmethod
+    def _to_u8(frame: np.ndarray) -> np.ndarray:
+        if frame.dtype == np.uint8:
+            return frame
+        return (np.clip(frame, 0.0, 1.0) * 255).astype(np.uint8)
+
+    def _run(self):
+        try:
+            import cv2
+        except Exception as e:  # pragma: no cover - cv2 is in the image
+            cv2 = None
+            self._err = e
+        while True:
+            frame = self._q.get()
+            if frame is None:
+                break
+            frame = self._to_u8(frame)
+            if cv2 is not None and self._vw is None and self._err is None:
+                h, w = frame.shape[:2]
+                self._vw = cv2.VideoWriter(
+                    self.path, cv2.VideoWriter_fourcc(*"mp4v"), self.fps,
+                    (w, h))
+                if not self._vw.isOpened():
+                    self._err = RuntimeError("cv2.VideoWriter failed to open")
+                    self._vw = None
+            if self._vw is not None:
+                self._vw.write(frame[:, :, ::-1])  # RGB -> BGR
+            else:
+                self._fallback_frames.append(frame)
+        if self._vw is not None:
+            self._vw.release()
+
+    def append(self, frame: np.ndarray) -> None:
+        self._q.put(frame)
+
+    def close(self) -> bool:
+        """Flush + join; returns True if an mp4 was written."""
+        self._q.put(None)
+        self._thread.join()
+        if self._err is not None or self._fallback_frames:
+            if self._fallback_frames:
+                np.save(self.path + ".npy", np.stack(self._fallback_frames))
+            return False
+        return True
+
+
+def spiral_frame_indices(T: int, V: int, loops: int = 2):
+    """The spiral timeline's (t, v) schedule (reference :308-381): view
+    index sweeps the orbit while time advances, `loops` passes."""
+    n = T * loops
+    return [(t % T, (t * V // max(n, 1)) % V) for t in range(n)]
 
 
 def create_spiral_timeline_video(
@@ -252,33 +336,10 @@ def create_spiral_timeline_video(
     loops: int = 2,
 ) -> bool:
     """Sweep the view index while time advances (reference :308-381).
-    Returns True if an mp4 was written (imageio-ffmpeg or cv2 backend;
-    falls back to .npy when neither can encode)."""
+    Returns True if an mp4 was written (cv2 backend — imageio ships no mp4
+    encoder in this image; falls back to .npy)."""
     T, V = frames.shape[:2]
-    n = T * loops
-    seq = [
-        frames[t % T, (t * V // max(n, 1)) % V] for t in range(n)
-    ]
-    arr = (np.clip(np.stack(seq), 0, 1) * 255).astype(np.uint8)
-    try:
-        import imageio
-
-        imageio.mimsave(path, arr, fps=fps)
-        return True
-    except Exception:
-        pass
-    try:
-        import cv2
-
-        h, w = arr.shape[1:3]
-        vw = cv2.VideoWriter(
-            path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
-        if not vw.isOpened():
-            raise RuntimeError("cv2.VideoWriter failed to open")
-        for f in arr:
-            vw.write(f[:, :, ::-1])  # RGB -> BGR
-        vw.release()
-        return True
-    except Exception:
-        np.save(path + ".npy", arr)
-        return False
+    w = StreamingVideoWriter(path, fps=fps)
+    for t, v in spiral_frame_indices(T, V, loops):
+        w.append(frames[t, v])
+    return w.close()

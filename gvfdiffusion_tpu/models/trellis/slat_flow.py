@@ -193,13 +193,16 @@ class ModulatedSparseCrossBlock(nn.Module):
             x = x + h.feats * g_a[:, None]
 
         if "cross" not in self.ablate:
-            h = SparseLayerNorm(affine=True, name="norm2")(x)
-            h = SparseMultiHeadAttention(
-                C, self.num_heads, attn_type="cross",
-                qk_rms_norm=self.qk_rms_norm_cross, dtype=self.dtype,
-                name="cross_attn",
-            )(h, context)
-            x = x + h.feats
+            if self._fused_cross_ok(x, context):
+                x = self._fused_cross(x, context)
+            else:
+                h = SparseLayerNorm(affine=True, name="norm2")(x)
+                h = SparseMultiHeadAttention(
+                    C, self.num_heads, attn_type="cross",
+                    qk_rms_norm=self.qk_rms_norm_cross, dtype=self.dtype,
+                    name="cross_attn",
+                )(h, context)
+                x = x + h.feats
 
         if "mlp" not in self.ablate:
             h = SparseLayerNorm(affine=False, name="norm3")(x)
@@ -207,6 +210,64 @@ class ModulatedSparseCrossBlock(nn.Module):
             h = SparseFeedForward(C, self.mlp_ratio, dtype=self.dtype, name="mlp")(h)
             x = x + h.feats * g_m[:, None]
         return x
+
+    def _fused_cross_ok(self, x, context) -> bool:
+        from ...nn.transformer import _fused_mode
+
+        C = self.channels
+        L = x.feats.shape[1]
+        return (
+            _fused_mode() != "off"
+            and not self.qk_rms_norm_cross  # kv rms would sit outside kernel
+            and C % 128 == 0
+            and 128 % (C // self.num_heads) == 0
+            and L % (128 if C > 512 else 512 if L % 512 == 0 else 128) == 0
+            and L % 128 == 0
+        )
+
+    def _fused_cross(self, x, context):
+        """Cross sublayer as ONE Pallas kernel (affine LN + q proj +
+        attention + out proj + residual; ops/fused_sublayer.py). KV is
+        projected in XLA (a fast matmul emitter) and streamed single-buffered
+        into L-gridded cells — C=1024 KV tiles don't fit double-buffered."""
+        from ...nn.transformer import (
+            _AffineLNParams, _DenseParams, _fused_mode,
+        )
+        from ...ops import fused_sublayer as fsl
+
+        C = self.channels
+        dt = self.dtype
+        B, L, _ = x.feats.shape
+        Lk = context.shape[1]
+
+        class _LNChild(nn.Module):
+            @nn.compact
+            def __call__(self):
+                return _AffineLNParams(C, name="LayerNorm_0")()
+
+        ns, nb = _LNChild(name="norm2")()
+
+        class _CrossP(nn.Module):
+            @nn.compact
+            def __call__(self):
+                wq, bq = _DenseParams(C, C, True, name="to_q")()
+                wkv, bkv = _DenseParams(C, 2 * C, True, name="to_kv")()
+                wo, bo = _DenseParams(C, C, True, name="to_out")()
+                return wq, bq, wkv, bkv, wo, bo
+
+        wq, bq, wkv, bkv, wo, bo = _CrossP(name="cross_attn")()
+        kv = jnp.einsum("blc,cd->bld", context.astype(dt), wkv.astype(dt),
+                        preferred_element_type=jnp.float32) + bkv
+        k, v = kv[..., :C].astype(dt), kv[..., C:].astype(dt)
+        w = lambda a: a.astype(dt)
+        feats = fsl.fused_cross_sublayer(
+            x.feats, (w(ns), w(nb), w(wq), w(bq), jnp.ones((C,), dt),
+                      w(wo), w(bo)),
+            (k, v), num_heads=self.num_heads, rms=False, compute_dtype=dt,
+            interpret=(_fused_mode() == "interpret"),
+            lq_block=(128 if C > 512 else 0), kv_buffers=(1 if C > 512 else 2),
+        )
+        return x.replace_feats(feats)
 
 
 class SLatFlowModel(nn.Module):

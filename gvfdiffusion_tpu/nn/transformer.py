@@ -244,7 +244,9 @@ class ModulatedTransformerCrossBlock(nn.Module):
                                              self.num_heads)
                     vq, vs = fsl.quantize_kv(v.reshape(bt, lk, C),
                                              self.num_heads)
-                    return kq, vq, ks, vs
+                    # K scales transposed [BT, H, Lk]: the int8-QK kernel
+                    # consumes them as per-head rows, no in-kernel transpose
+                    return kq, vq, ks.swapaxes(1, 2), vs
 
                 return q(img_kv), q(static_kv)
             return img_kv, static_kv
@@ -324,12 +326,12 @@ class ModulatedTransformerCrossBlock(nn.Module):
             # the composed path (unsupported shape / GVF_FUSED=off):
             # dequantize to the plain (k, v) [BT, Lk, H, D] cache format
             if kv is not None and len(kv) == 4:
-                kq, vq, ks, vs = kv
+                kq, vq, ks_t, vs = kv
                 bt, lk = kq.shape[0], kq.shape[1]
                 D = C // self.num_heads
                 return (
-                    fsl.dequantize_kv(kq, ks).astype(self.dtype).reshape(
-                        bt, lk, self.num_heads, D),
+                    fsl.dequantize_kv(kq, ks_t.swapaxes(1, 2)).astype(
+                        self.dtype).reshape(bt, lk, self.num_heads, D),
                     fsl.dequantize_kv(vq, vs).astype(self.dtype).reshape(
                         bt, lk, self.num_heads, D),
                 )

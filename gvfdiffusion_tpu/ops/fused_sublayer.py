@@ -73,28 +73,50 @@ def _rms_norm_lanes(q, bd_mask, gamma_lanes):
 
 
 def _packed_attention(q, k, v, *, head_dim, compute_dtype, scale,
-                      seg_mask=None, kv_bias=None):
+                      seg_mask=None, kv_bias=None, k_int8=None, ks_t=None):
     """Dense-packed attention on VMEM-resident q [Lq, C], k/v [Lk, C] (f32 or
-    bf16 in, f32 out). Returns [Lq, C] f32 (already softmax-normalized)."""
+    bf16 in, f32 out). Returns [Lq, C] f32 (already softmax-normalized).
+
+    k_int8/ks_t: int8 QK mode — k is the int8 cache [Lk, C] with transposed
+    per-(head, token) scales ks_t [H, Lk]; q is quantized in-kernel with a
+    per-(cell, head) max-abs scale (the head's lanes are already isolated in
+    the masked qm, so its max IS the per-head max). The QK contraction runs
+    int8 x int8 -> int32 at 2x the bf16 MXU rate — the packed narrow-head
+    attention is MXU-bound (4x lane-packing waste), so this halves its
+    dominant cost. The product scale rides the existing softmax epilogue as
+    a per-column factor; AV stays bf16 (P is exp2-shifted, unquantizable)."""
     Lq, C = q.shape
     out = []
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1) // head_dim
     hpg = _LANES // head_dim
     for g in range(C // _LANES):
         gsl = slice(g * _LANES, (g + 1) * _LANES)
-        qg = q[:, gsl].astype(compute_dtype)
-        kg = k[:, gsl].astype(compute_dtype)
+        qg = q[:, gsl]
+        kg = None if k_int8 is not None else k[:, gsl].astype(compute_dtype)
         vg = v[:, gsl].astype(compute_dtype)
         o_acc = jnp.zeros((Lq, _LANES), jnp.float32)
         d_acc = jnp.zeros((Lq, _LANES), jnp.float32)
         for h in range(hpg):
             sel = lane == h
-            qm = jnp.where(sel, qg, jnp.zeros((), compute_dtype))
-            s = jax.lax.dot_general(
-                qm, kg, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            s = s * (scale * _LOG2E) - _SHIFT
+            if k_int8 is not None:
+                qm = jnp.where(sel, qg.astype(jnp.float32), 0.0)
+                qs = jnp.maximum(jnp.max(jnp.abs(qm)), 1e-8)
+                qi = jnp.round(qm * (127.0 / qs)).astype(jnp.int8)
+                si = jax.lax.dot_general(
+                    qi, k_int8[:, gsl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                col = ks_t[g * hpg + h, :][None, :].astype(jnp.float32)
+                s = si.astype(jnp.float32) * (
+                    col * (qs * scale * _LOG2E / 127.0)) - _SHIFT
+            else:
+                qm = jnp.where(sel, qg.astype(compute_dtype),
+                               jnp.zeros((), compute_dtype))
+                s = jax.lax.dot_general(
+                    qm, kg, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                s = s * (scale * _LOG2E) - _SHIFT
             if kv_bias is not None:
                 s = s + kv_bias
             if seg_mask is not None:
@@ -554,10 +576,13 @@ def _cross_sublayer_kernel(x_ref, *refs, num_heads: int, rms: bool,
         return kq_ref[0].astype(compute_dtype) * sexp.astype(compute_dtype)
 
     def one_cross(xf, grp, kv_len):
+        k_int8 = ks_t = None
         if quant:
             (ns_ref, nb_ref, wq_ref, bq_ref, qg_ref, wo_ref, bo_ref,
-             k_ref, v_ref, ks_ref, vs_ref) = grp
-            k = dequant(k_ref, ks_ref)
+             k_ref, v_ref, kst_ref, vs_ref) = grp
+            k_int8 = k_ref[0]          # int8 QK path: no dequant of K
+            ks_t = kst_ref[0]          # [H, Lkp]
+            k = None
             v = dequant(v_ref, vs_ref)
         else:
             (ns_ref, nb_ref, wq_ref, bq_ref, qg_ref, wo_ref, bo_ref,
@@ -578,8 +603,9 @@ def _cross_sublayer_kernel(x_ref, *refs, num_heads: int, rms: bool,
             col = jax.lax.broadcasted_iota(jnp.int32, (1, lkp), 1)
             kv_bias = jnp.where(col < kv_len, 0.0, -jnp.inf)
         attn = _packed_attention(
-            q, k, v, head_dim=D, compute_dtype=compute_dtype,
-            scale=D ** -0.5, kv_bias=kv_bias,
+            q, k if k is not None else q, v, head_dim=D,
+            compute_dtype=compute_dtype, scale=D ** -0.5, kv_bias=kv_bias,
+            k_int8=k_int8, ks_t=ks_t,
         )
         out = jax.lax.dot_general(
             attn.astype(compute_dtype), wo_ref[...].astype(compute_dtype),
@@ -587,8 +613,9 @@ def _cross_sublayer_kernel(x_ref, *refs, num_heads: int, rms: bool,
         ) + bo_ref[0].astype(jnp.float32)[None, :]
         return xf + out
 
-    xf = one_cross(xf, refs[0:per], kv_lens[0])
-    xf = one_cross(xf, refs[per:2 * per], kv_lens[1])
+    n_ctx = (len(refs) - 1) // per
+    for i in range(n_ctx):
+        xf = one_cross(xf, refs[i * per:(i + 1) * per], kv_lens[i])
     o_ref[0] = xf.astype(o_ref.dtype)
 
 
@@ -605,28 +632,49 @@ def _pad_kv(k, m=128):
 
 
 def _cross_sublayer_fwd_impl(x, p1, kv1, p2, kv2, num_heads: int, rms: bool,
-                             compute_dtype, quant: bool, interpret: bool):
+                             compute_dtype, quant: bool, interpret: bool,
+                             lq_block: int = 0, kv_buffers: int = 2):
     """x [B, L, C]; p_i = (norm_scale [C], norm_bias [C], wq [C, C], bq [C],
     qg [C], wo [C, C], bo [C]); kv_i = (k, v) each [B, Lk_i, C] — or, with
-    quant=True, (k int8, v int8, k_scale [B, Lk, H], v_scale [B, Lk, H])."""
+    quant=True, (k int8, v int8, k_scale [B, Lk, H], v_scale [B, Lk, H]).
+    p2/kv2 may be None (single-context form, e.g. the SLat torso).
+
+    lq_block > 0 grids the query rows (KV blocks stay resident across row
+    blocks of one batch element); kv_buffers=1 single-buffers the KV streams
+    (trades pipeline overlap at batch transitions for half the KV VMEM —
+    the L-gridded big-channel shapes need it to fit)."""
     B, L, C = x.shape
-    H = num_heads
-    kv_lens = (kv1[0].shape[1], kv2[0].shape[1])
-    kv1 = tuple(_pad_kv(a) for a in kv1)
-    kv2 = tuple(_pad_kv(a) for a in kv2)
+    groups = [(p1, kv1)] + ([(p2, kv2)] if p2 is not None else [])
+    kv_lens = tuple(kv[0].shape[1] for _, kv in groups)
+
+    def _pad_group(kv):
+        if len(kv) == 4:  # (k int8, v int8, ks_t [B,H,Lk], vs [B,Lk,H])
+            kq, vq, ks_t, vs = kv
+            lkp = _round_up(kq.shape[1], 128)
+            if lkp != kq.shape[1]:
+                ks_t = jnp.pad(ks_t, [(0, 0), (0, 0),
+                                      (0, lkp - ks_t.shape[2])])
+            return (_pad_kv(kq), _pad_kv(vq), ks_t, _pad_kv(vs))
+        return tuple(_pad_kv(a) for a in kv)
+
+    groups = [(p, _pad_group(kv)) for p, kv in groups]
     row = lambda a: a.reshape(1, -1)
     kernel = functools.partial(
         _cross_sublayer_kernel, num_heads=num_heads, rms=rms,
         compute_dtype=compute_dtype, kv_lens=kv_lens, quant=quant,
     )
-    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(
+    lq = lq_block if lq_block else L
+    assert L % lq == 0
+    grid = (B, L // lq)
+    const = lambda shape: pl.BlockSpec(shape, lambda i, r: tuple(
         0 for _ in shape), memory_space=pltpu.VMEM)
+    kv_mode = (pl.Buffered(buffer_count=1)
+               if (kv_buffers == 1 and not interpret) else None)
 
     def kvspecs(kv):
-        lkp = kv[0].shape[1]
-        specs = [pl.BlockSpec((1, lkp, a.shape[2]), lambda i: (i, 0, 0),
-                              memory_space=pltpu.VMEM) for a in kv]
-        return specs
+        return [pl.BlockSpec((1,) + a.shape[1:], lambda i, r: (i, 0, 0),
+                             memory_space=pltpu.VMEM, pipeline_mode=kv_mode)
+                for a in kv]
 
     def pgroup(p):
         ns, nb, wq, bq, qg, wo, bo = p
@@ -636,26 +684,28 @@ def _cross_sublayer_fwd_impl(x, p1, kv1, p2, kv2, num_heads: int, rms: bool,
         return [const((1, C)), const((1, C)), const((C, C)), const((1, C)),
                 const((1, C)), const((C, C)), const((1, C))]
 
+    in_specs = [pl.BlockSpec((1, lq, C), lambda i, r: (i, r, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [x]
+    for p, kv in groups:
+        in_specs += pspecs() + kvspecs(kv)
+        args += pgroup(p) + list(kv)
+    lk_tot = sum(kv_lens)
     return pl.pallas_call(
         kernel,
-        grid=(B,),
-        in_specs=(
-            [pl.BlockSpec((1, L, C), lambda i: (i, 0, 0),
-                          memory_space=pltpu.VMEM)]
-            + pspecs() + kvspecs(kv1)
-            + pspecs() + kvspecs(kv2)
-        ),
-        out_specs=pl.BlockSpec((1, L, C), lambda i: (i, 0, 0),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, lq, C), lambda i, r: (i, r, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, L, C), x.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * L * C * (4 * C + 2 * (kv_lens[0] + kv_lens[1])),
-            bytes_accessed=(2 * B * L * C + 2 * B * C *
-                            (kv_lens[0] + kv_lens[1])) * x.dtype.itemsize,
-            transcendentals=B * num_heads * L * (kv_lens[0] + kv_lens[1]),
+            flops=2 * B * L * C * (4 * C + 2 * lk_tot),
+            bytes_accessed=(2 * B * L * C + 2 * B * C * lk_tot)
+            * x.dtype.itemsize,
+            transcendentals=B * num_heads * L * lk_tot,
         ),
         interpret=interpret,
-    )(x, *pgroup(p1), *kv1, *pgroup(p2), *kv2)
+    )(*args)
 
 
 def dequantize_kv(kq: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
@@ -669,10 +719,12 @@ def dequantize_kv(kq: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
 def cross_sublayer_reference(x, p1, kv1, p2, kv2, num_heads: int, rms: bool,
                              compute_dtype=jnp.bfloat16, quant: bool = False):
     if quant:
-        kv1 = (dequantize_kv(kv1[0], kv1[2]).astype(compute_dtype),
-               dequantize_kv(kv1[1], kv1[3]).astype(compute_dtype))
-        kv2 = (dequantize_kv(kv2[0], kv2[2]).astype(compute_dtype),
-               dequantize_kv(kv2[1], kv2[3]).astype(compute_dtype))
+        # quant tuples: (k int8, v int8, ks_t [B, H, Lk], vs [B, Lk, H])
+        dq = lambda kv: (
+            dequantize_kv(kv[0], kv[2].swapaxes(1, 2)).astype(compute_dtype),
+            dequantize_kv(kv[1], kv[3]).astype(compute_dtype))
+        kv1 = dq(kv1)
+        kv2 = dq(kv2) if kv2 is not None else None
     B, L, C = x.shape
     D = C // num_heads
     xf = x.astype(jnp.float32)
@@ -708,40 +760,45 @@ def cross_sublayer_reference(x, p1, kv1, p2, kv2, num_heads: int, rms: bool,
         return xf + out + bo.astype(jnp.float32)
 
     xf = one(xf, p1, kv1)
-    xf = one(xf, p2, kv2)
+    if p2 is not None:
+        xf = one(xf, p2, kv2)
     return xf.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _cross_sublayer(x, p1, kv1, p2, kv2, num_heads, rms, compute_dtype,
-                    quant, interpret):
+                    quant, interpret, lq_block, kv_buffers):
     return _cross_sublayer_fwd_impl(x, p1, kv1, p2, kv2, num_heads, rms,
-                                    compute_dtype, quant, interpret)
+                                    compute_dtype, quant, interpret,
+                                    lq_block, kv_buffers)
 
 
 def _cross_fwd(x, p1, kv1, p2, kv2, num_heads, rms, compute_dtype, quant,
-               interpret):
+               interpret, lq_block, kv_buffers):
     y = _cross_sublayer_fwd_impl(x, p1, kv1, p2, kv2, num_heads, rms,
-                                 compute_dtype, quant, interpret)
+                                 compute_dtype, quant, interpret, lq_block,
+                                 kv_buffers)
     return y, (x, p1, kv1, p2, kv2)
 
 
-def _cross_bwd(num_heads, rms, compute_dtype, quant, interpret, res, gy):
+def _cross_bwd(num_heads, rms, compute_dtype, quant, interpret, lq_block,
+               kv_buffers, res, gy):
     x, p1, kv1, p2, kv2 = res
+    f = functools.partial(cross_sublayer_reference, num_heads=num_heads,
+                          rms=rms, compute_dtype=compute_dtype)
     if quant:
         # inference-only storage format: gradients don't flow into the int8
         # cache — recompute with dequantized floats for dx/dparams
-        fkv1 = (dequantize_kv(kv1[0], kv1[2]), dequantize_kv(kv1[1], kv1[3]))
-        fkv2 = (dequantize_kv(kv2[0], kv2[2]), dequantize_kv(kv2[1], kv2[3]))
-        f = functools.partial(cross_sublayer_reference, num_heads=num_heads,
-                              rms=rms, compute_dtype=compute_dtype)
+        dq = lambda kv: (dequantize_kv(kv[0], kv[2].swapaxes(1, 2)),
+                         dequantize_kv(kv[1], kv[3]))
+        fkv1 = dq(kv1)
+        fkv2 = dq(kv2) if kv2 is not None else None
         _, vjp = jax.vjp(lambda x, p1, p2: f(x, p1, fkv1, p2, fkv2), x, p1,
                          p2)
         dx, dp1, dp2 = vjp(gy)
-        zeros = lambda kv: tuple(jnp.zeros_like(a) for a in kv)
+        zeros = lambda kv: (tuple(jnp.zeros_like(a) for a in kv)
+                            if kv is not None else None)
         return dx, dp1, zeros(kv1), dp2, zeros(kv2)
-    f = functools.partial(cross_sublayer_reference, num_heads=num_heads,
-                          rms=rms, compute_dtype=compute_dtype)
     _, vjp = jax.vjp(f, *res)
     return vjp(gy)
 
@@ -749,16 +806,20 @@ def _cross_bwd(num_heads, rms, compute_dtype, quant, interpret, res, gy):
 _cross_sublayer.defvjp(_cross_fwd, _cross_bwd)
 
 
-def fused_cross_sublayer(x, p1, kv1, p2, kv2, *, num_heads: int,
+def fused_cross_sublayer(x, p1, kv1, p2=None, kv2=None, *, num_heads: int,
                          rms: bool = False, compute_dtype=jnp.bfloat16,
-                         quant: bool = False, interpret: bool = False):
-    """Two chained un-gated cross-attention sublayers with affine pre-norms
-    (the DiT image + static-GS conditioning pair) in one kernel.
+                         quant: bool = False, interpret: bool = False,
+                         lq_block: int = 0, kv_buffers: int = 2):
+    """One or two chained un-gated cross-attention sublayers with affine
+    pre-norms in one kernel (two: the DiT image + static-GS conditioning
+    pair; one: the SLat torso's image cross).
 
     quant=True: kv_i = (k int8, v int8, k_scale, v_scale) from quantize_kv —
-    halves the cache's HBM stream (the denoise's largest), ~0.5% kv error."""
+    halves the cache's HBM stream (the denoise's largest), ~0.5% kv error.
+    lq_block/kv_buffers: see _cross_sublayer_fwd_impl (big-channel shapes)."""
     return _cross_sublayer(x, p1, kv1, p2, kv2, num_heads, rms,
-                           compute_dtype, quant, interpret)
+                           compute_dtype, quant, interpret, lq_block,
+                           kv_buffers)
 
 
 def cross_sublayer_supports(B, L, C, num_heads, lk1, lk2) -> bool:

@@ -154,23 +154,29 @@ def test_cross_sublayer_quantized_kv():
     quantization itself must stay within per-(token,head) int8 error of the
     float path."""
     x, p1, kv1, p2, kv2 = _cross_args()
-    qkv1 = fs.quantize_kv(kv1[0], H) + fs.quantize_kv(kv1[1], H)
-    qkv1 = (qkv1[0], qkv1[2], qkv1[1], qkv1[3])
-    qkv2 = fs.quantize_kv(kv2[0], H) + fs.quantize_kv(kv2[1], H)
-    qkv2 = (qkv2[0], qkv2[2], qkv2[1], qkv2[3])
+
+    def q(kv):
+        kq, ks = fs.quantize_kv(kv[0], H)
+        vq, vs = fs.quantize_kv(kv[1], H)
+        return kq, vq, ks.swapaxes(1, 2), vs
+
+    qkv1, qkv2 = q(kv1), q(kv2)
+    # the reference dequantizes K to float; the kernel additionally runs the
+    # QK contraction in int8 with an in-kernel per-(cell, head) Q scale, so
+    # they agree to quantization error, not exactly
     ref_q = fs.cross_sublayer_reference(x, p1, qkv1, p2, qkv2, num_heads=H,
                                         rms=False,
                                         compute_dtype=jnp.float32, quant=True)
     out_q = fs.fused_cross_sublayer(x, p1, qkv1, p2, qkv2, num_heads=H,
                                     rms=False, compute_dtype=jnp.float32,
                                     quant=True, interpret=True)
-    np.testing.assert_allclose(np.asarray(out_q), np.asarray(ref_q),
-                               rtol=2e-4, atol=2e-4)
-    # quantization error vs the float path is bounded (int8, max-abs scales)
+    rel_k = (jnp.linalg.norm(out_q - ref_q) / jnp.linalg.norm(ref_q))
+    assert float(rel_k) < 0.01, float(rel_k)
+    # total quantization error vs the float path is bounded
     ref_f = fs.cross_sublayer_reference(x, p1, kv1, p2, kv2, num_heads=H,
                                         rms=False, compute_dtype=jnp.float32)
-    rel = (jnp.linalg.norm(ref_q - ref_f) / jnp.linalg.norm(ref_f))
-    assert float(rel) < 0.01, float(rel)
+    rel = (jnp.linalg.norm(out_q - ref_f) / jnp.linalg.norm(ref_f))
+    assert float(rel) < 0.02, float(rel)
 
 
 def test_quantize_dequantize_roundtrip_error():
@@ -240,6 +246,50 @@ def test_block_fused_path_matches_unfused():
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_slat_block_fused_cross_matches_unfused():
+    """ModulatedSparseCrossBlock (SLat torso): the fused single-context
+    cross sublayer (L-gridded, single-buffered KV) vs the composed path."""
+    import os
+
+    from gvfdiffusion_tpu.models.trellis.slat_flow import (
+        ModulatedSparseCrossBlock,
+    )
+    from gvfdiffusion_tpu.sparse.tensor import SparseVoxels
+
+    Bb, Ll, Cc, Hh, Lk = 2, 256, 256, 8, 70
+    block = ModulatedSparseCrossBlock(channels=Cc, num_heads=Hh,
+                                      dtype=jnp.float32)
+    ks = jax.random.split(jax.random.PRNGKey(3), 6)
+    feats = _mk(ks[0], Bb, Ll, Cc)
+    coords = jax.random.randint(ks[1], (Bb, Ll, 3), 0, 16)
+    valid = jnp.ones((Bb, Ll), bool)
+    x = SparseVoxels(feats=feats, coords=coords, valid=valid, resolution=16)
+    mod = _mk(ks[2], Bb, Cc)
+    ctx = _mk(ks[3], Bb, Lk, Cc, scale=0.5)
+
+    os.environ["GVF_FUSED"] = "off"
+    try:
+        params = block.init(ks[4], x, mod, ctx)
+        ref = block.apply(params, x, mod, ctx)
+        os.environ["GVF_FUSED"] = "interpret"
+        out = block.apply(params, x, mod, ctx)
+    finally:
+        os.environ.pop("GVF_FUSED", None)
+    np.testing.assert_allclose(np.asarray(out.feats), np.asarray(ref.feats),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_cross_sublayer_single_context_lq_grid():
+    x, p1, kv1, _, _ = _cross_args()
+    ref = fs.cross_sublayer_reference(x, p1, kv1, None, None, num_heads=H,
+                                      rms=False, compute_dtype=jnp.float32)
+    out = fs.fused_cross_sublayer(x, p1, kv1, num_heads=H, rms=False,
+                                  compute_dtype=jnp.float32, interpret=True,
+                                  lq_block=64, kv_buffers=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_supports_predicates():

@@ -333,7 +333,12 @@ def bench_e2e(full_pipeline: bool = False):
             gs0, target, valid=valid0, n_angles=360,
         )[0]
 
-    stages["alignment_360"] = _time_stage("alignment_360", align, iters=1)
+    # iters=3: this stage is a host-orchestrated hierarchical sweep (many
+    # small jitted score programs), so single-shot timings spread 20-40%
+    # with host jitter on the one-core image (522/655/740/498 ms across
+    # r4-r5 sessions); min-of-3 reports the stage's actual device+dispatch
+    # cost reproducibly (VERDICT r4 item 8)
+    stages["alignment_360"] = _time_stage("alignment_360", align, iters=3)
     # gs0/valid0 are rank-reducing slices (own buffers); the batched decode
     # outputs and every live executable's workspace must go before the
     # denoise program, which needs nearly all of HBM. The persistent compile

@@ -440,6 +440,12 @@ class ModulatedTransformerCrossBlock(nn.Module):
             return (w(kv[0]), w(kv[1]))
 
         if "cross" not in skip:
+            # at the 3-way-CFG batch (B=3 -> BT=96 grid cells) the whole-N
+            # quant kernel's scoped VMEM lands 1.4M over the 16M limit
+            # (int8 K/V + scale streams on top of the bf16 buffers); grid
+            # the query rows to halve the per-instance allocation. B<=2
+            # keeps the whole-N form that the single-CFG bench measured.
+            lq = N // 2 if (quant and B * T > 64 and N % 2 == 0) else 0
             x = fsl.fused_cross_sublayer(
                 x.reshape(B * T, N, C),
                 (w(n3[0]), w(n3[1]), w(wq1), w(bq1), w(qg1), w(wo1), w(bo1)),
@@ -447,7 +453,7 @@ class ModulatedTransformerCrossBlock(nn.Module):
                 (w(n4[0]), w(n4[1]), w(wq2), w(bq2), w(qg2), w(wo2), w(bo2)),
                 wkv(pack(static_kv)),
                 num_heads=H, rms=self.qk_rms_norm_cross, compute_dtype=dt,
-                quant=quant, interpret=interpret,
+                quant=quant, interpret=interpret, lq_block=lq,
             ).reshape(B, T, N, C)
 
         # MLP

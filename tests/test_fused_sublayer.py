@@ -292,6 +292,32 @@ def test_cross_sublayer_single_context_lq_grid():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_cross_sublayer_quant_dual_context_lq_grid():
+    """The 3-way-CFG configuration: dual-context quant kernel with gridded
+    query rows (nn/transformer.py passes lq_block=N//2 at BT=96 to fit the
+    scoped-VMEM limit); must match the ungridded quant kernel exactly."""
+    x, p1, kv1, p2, kv2 = _cross_args()
+
+    def q(kv):
+        kq, ks = fs.quantize_kv(kv[0], H)
+        vq, vs = fs.quantize_kv(kv[1], H)
+        return kq, vq, ks.swapaxes(1, 2), vs
+
+    qkv1, qkv2 = q(kv1), q(kv2)
+    base = fs.fused_cross_sublayer(x, p1, qkv1, p2, qkv2, num_heads=H,
+                                   rms=False, compute_dtype=jnp.float32,
+                                   quant=True, interpret=True)
+    grid = fs.fused_cross_sublayer(x, p1, qkv1, p2, qkv2, num_heads=H,
+                                   rms=False, compute_dtype=jnp.float32,
+                                   quant=True, interpret=True,
+                                   lq_block=x.shape[1] // 2)
+    # not bit-identical: the in-kernel per-(cell, head) Q scale is a max
+    # over the row block, so gridding changes the quantization grid — the
+    # two kernels agree to int8-quantization error, not exactly
+    rel = jnp.linalg.norm(grid - base) / jnp.linalg.norm(base)
+    assert float(rel) < 5e-3, float(rel)
+
+
 def test_supports_predicates():
     assert fs.self_sublayer_supports(32, 512, 512, 16)
     assert fs.temporal_sublayer_supports(1, 32, 512, 512, 16)

@@ -394,6 +394,13 @@ class ModulatedTransformerCrossBlock(nn.Module):
         # whole-program deltas attribute in-situ cost. NEVER set in configs.
         skip = set(os.environ.get("GVF_FUSED_ABLATE", "").split(","))
 
+        # int8 QK for the self kernels (GVF_SELF_QUANT=int8): both operands
+        # of the dominant packed QK dot quantize in-kernel with per-(cell,
+        # head) max-abs scales — 2x MXU rate on the 4x-lane-packed narrow-
+        # head contraction; AV stays bf16. Inference-only (the bwd runs the
+        # float reference), drift bounded in tests/test_fused_sublayer.py.
+        sq = os.environ.get("GVF_SELF_QUANT", "") == "int8"
+
         # spatial self attention (norm1 is non-affine, fused into the kernel)
         wqkv, bqkv, qg, kg, wo, bo = _SelfAttnParams(
             C, H, self.qkv_bias, self.qk_rms_norm, name="spatial_self_attn")()
@@ -402,7 +409,7 @@ class ModulatedTransformerCrossBlock(nn.Module):
                 x.reshape(B * T, N, C), w(sh_s), w(sc_s), w(g_s), w(wqkv),
                 w(bqkv), w(qg), w(kg), w(wo), w(bo), num_heads=H,
                 rms=self.qk_rms_norm, compute_dtype=dt, mod_repeat=T,
-                interpret=interpret,
+                interpret=interpret, quant_qk=sq,
             ).reshape(B, T, N, C)
 
         # temporal self attention in the native [B, T, N, C] layout
@@ -413,7 +420,7 @@ class ModulatedTransformerCrossBlock(nn.Module):
             x = fsl.fused_temporal_sublayer(
                 x, w(sh_t), w(sc_t), w(g_t), w(wqkv), w(bqkv), w(qg), w(kg),
                 w(wo), w(bo), num_heads=H, rms=self.qk_rms_norm,
-                compute_dtype=dt, interpret=interpret,
+                compute_dtype=dt, interpret=interpret, quant_qk=sq,
             )
 
         # image + static cross attention, chained in one kernel

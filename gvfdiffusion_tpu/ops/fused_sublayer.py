@@ -73,7 +73,8 @@ def _rms_norm_lanes(q, bd_mask, gamma_lanes):
 
 
 def _packed_attention(q, k, v, *, head_dim, compute_dtype, scale,
-                      seg_mask=None, kv_bias=None, k_int8=None, ks_t=None):
+                      seg_mask=None, kv_bias=None, k_int8=None, ks_t=None,
+                      quant_qk=False):
     """Dense-packed attention on VMEM-resident q [Lq, C], k/v [Lk, C] (f32 or
     bf16 in, f32 out). Returns [Lq, C] f32 (already softmax-normalized).
 
@@ -84,7 +85,13 @@ def _packed_attention(q, k, v, *, head_dim, compute_dtype, scale,
     int8 x int8 -> int32 at 2x the bf16 MXU rate — the packed narrow-head
     attention is MXU-bound (4x lane-packing waste), so this halves its
     dominant cost. The product scale rides the existing softmax epilogue as
-    a per-column factor; AV stays bf16 (P is exp2-shifted, unquantizable)."""
+    a per-column factor; AV stays bf16 (P is exp2-shifted, unquantizable).
+
+    quant_qk: int8 QK mode for the SELF kernels — k arrives float (computed
+    in-kernel from the residual stream) and is quantized here with one
+    max-abs scale per (cell, head): both operands of the dominant QK dot go
+    int8 with purely scalar score factors. Same 2x MXU rate as the cached
+    int8 path, no per-token scale stream needed."""
     Lq, C = q.shape
     out = []
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1) // head_dim
@@ -94,21 +101,39 @@ def _packed_attention(q, k, v, *, head_dim, compute_dtype, scale,
         qg = q[:, gsl]
         kg = None if k_int8 is not None else k[:, gsl].astype(compute_dtype)
         vg = v[:, gsl].astype(compute_dtype)
+        ki = k_scales = None
+        if quant_qk:
+            kf = k[:, gsl].astype(jnp.float32)
+            k_scales = []
+            lane_scale = jnp.zeros((1, _LANES), jnp.float32)
+            for h in range(hpg):
+                sel = lane == h
+                ksh = jnp.maximum(
+                    jnp.max(jnp.abs(jnp.where(sel, kf, 0.0))), 1e-8)
+                k_scales.append(ksh)
+                lane_scale = lane_scale + jnp.where(sel, ksh, 0.0)
+            ki = jnp.round(kf * (127.0 / lane_scale)).astype(jnp.int8)
         o_acc = jnp.zeros((Lq, _LANES), jnp.float32)
         d_acc = jnp.zeros((Lq, _LANES), jnp.float32)
         for h in range(hpg):
             sel = lane == h
-            if k_int8 is not None:
+            if k_int8 is not None or quant_qk:
                 qm = jnp.where(sel, qg.astype(jnp.float32), 0.0)
                 qs = jnp.maximum(jnp.max(jnp.abs(qm)), 1e-8)
                 qi = jnp.round(qm * (127.0 / qs)).astype(jnp.int8)
                 si = jax.lax.dot_general(
-                    qi, k_int8[:, gsl], (((1,), (1,)), ((), ())),
+                    qi, ki if quant_qk else k_int8[:, gsl],
+                    (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
-                col = ks_t[g * hpg + h, :][None, :].astype(jnp.float32)
-                s = si.astype(jnp.float32) * (
-                    col * (qs * scale * _LOG2E / 127.0)) - _SHIFT
+                if quant_qk:
+                    s = si.astype(jnp.float32) * (
+                        qs * k_scales[h] * scale * _LOG2E / (127.0 * 127.0)
+                    ) - _SHIFT
+                else:
+                    col = ks_t[g * hpg + h, :][None, :].astype(jnp.float32)
+                    s = si.astype(jnp.float32) * (
+                        col * (qs * scale * _LOG2E / 127.0)) - _SHIFT
             else:
                 qm = jnp.where(sel, qg.astype(compute_dtype),
                                jnp.zeros((), compute_dtype))
@@ -145,7 +170,7 @@ def _packed_attention(q, k, v, *, head_dim, compute_dtype, scale,
 def _self_sublayer_kernel(x_ref, sh_ref, sc_ref, g_ref, wqkv_ref, bqkv_ref,
                           qg_ref, kg_ref, wo_ref, bo_ref, o_ref, *,
                           num_heads: int, rms: bool, compute_dtype,
-                          seg: int):
+                          seg: int, quant_qk: bool = False):
     L, C = x_ref.shape[1], x_ref.shape[2]
     D = C // num_heads
     xb = x_ref[0]
@@ -180,7 +205,7 @@ def _self_sublayer_kernel(x_ref, sh_ref, sc_ref, g_ref, wqkv_ref, bqkv_ref,
 
     attn = _packed_attention(
         q, k, v, head_dim=D, compute_dtype=compute_dtype,
-        scale=D ** -0.5, seg_mask=seg_mask,
+        scale=D ** -0.5, seg_mask=seg_mask, quant_qk=quant_qk,
     )
     out = jax.lax.dot_general(
         attn.astype(compute_dtype), wo_ref[...].astype(compute_dtype),
@@ -192,7 +217,8 @@ def _self_sublayer_kernel(x_ref, sh_ref, sc_ref, g_ref, wqkv_ref, bqkv_ref,
 
 def _self_sublayer_fwd_impl(x, sh, sc, gate, wqkv, bqkv, qg, kg, wo, bo,
                             num_heads: int, rms: bool, compute_dtype,
-                            seg: int, mod_repeat: int, interpret: bool):
+                            seg: int, mod_repeat: int, interpret: bool,
+                            quant_qk: bool = False):
     """x [B, L, C]; sh/sc/gate [B // mod_repeat, C] (cell i uses modulation
     row i // mod_repeat — frames of one sample share a timestep embedding);
     wqkv [C, 3C]; bqkv [3C]; qg/kg [C] (gamma.flatten() * sqrt(D));
@@ -201,7 +227,7 @@ def _self_sublayer_fwd_impl(x, sh, sc, gate, wqkv, bqkv, qg, kg, wo, bo,
     row = lambda a: a.reshape(1, -1)
     kernel = functools.partial(
         _self_sublayer_kernel, num_heads=num_heads, rms=rms,
-        compute_dtype=compute_dtype, seg=seg,
+        compute_dtype=compute_dtype, seg=seg, quant_qk=quant_qk,
     )
     mr = mod_repeat
     vec = lambda: pl.BlockSpec((1, 1, C), lambda i: (i // mr, 0, 0),
@@ -279,25 +305,26 @@ def self_sublayer_reference(x, sh, sc, gate, wqkv, bqkv, qg, kg, wo, bo,
     return y.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(10, 11, 12, 13, 14, 15, 16))
 def _self_sublayer(x, sh, sc, gate, wqkv, bqkv, qg, kg, wo, bo,
                    num_heads, rms, compute_dtype, seg, mod_repeat,
-                   interpret):
+                   interpret, quant_qk):
     return _self_sublayer_fwd_impl(x, sh, sc, gate, wqkv, bqkv, qg, kg, wo,
                                    bo, num_heads, rms, compute_dtype, seg,
-                                   mod_repeat, interpret)
+                                   mod_repeat, interpret, quant_qk)
 
 
 def _self_fwd(x, sh, sc, gate, wqkv, bqkv, qg, kg, wo, bo, num_heads, rms,
-              compute_dtype, seg, mod_repeat, interpret):
+              compute_dtype, seg, mod_repeat, interpret, quant_qk):
     y = _self_sublayer_fwd_impl(x, sh, sc, gate, wqkv, bqkv, qg, kg, wo, bo,
                                 num_heads, rms, compute_dtype, seg,
-                                mod_repeat, interpret)
+                                mod_repeat, interpret, quant_qk)
     return y, (x, sh, sc, gate, wqkv, bqkv, qg, kg, wo, bo)
 
 
 def _self_bwd(num_heads, rms, compute_dtype, seg, mod_repeat, interpret,
-              res, gy):
+              quant_qk, res, gy):
     x, sh, sc, gate = res[0], res[1], res[2], res[3]
     rep = lambda a: jnp.repeat(a, mod_repeat, axis=0) if mod_repeat > 1 else a
     f = functools.partial(self_sublayer_reference, num_heads=num_heads,
@@ -317,7 +344,8 @@ _self_sublayer.defvjp(_self_fwd, _self_bwd)
 def fused_self_sublayer(x, sh, sc, gate, wqkv, bqkv, qg, kg, wo, bo, *,
                         num_heads: int, rms: bool = True,
                         compute_dtype=jnp.bfloat16, seg: int = 0,
-                        mod_repeat: int = 1, interpret: bool = False):
+                        mod_repeat: int = 1, interpret: bool = False,
+                        quant_qk: bool = False):
     """Fused pre-norm modulated self-attention sublayer (one HBM round-trip).
 
     seg > 1: rows are sequence-packed groups of `seg` independent streams
@@ -328,7 +356,7 @@ def fused_self_sublayer(x, sh, sc, gate, wqkv, bqkv, qg, kg, wo, bo, *,
     i // mod_repeat (frames of one video share the timestep modulation)."""
     return _self_sublayer(x, sh, sc, gate, wqkv, bqkv, qg, kg, wo, bo,
                           num_heads, rms, compute_dtype, seg, mod_repeat,
-                          interpret)
+                          interpret, quant_qk)
 
 
 # -- fused temporal sublayer ---------------------------------------------------
@@ -345,7 +373,7 @@ _TEMPORAL_NC = 16
 def _temporal_sublayer_kernel(x_ref, sh_ref, sc_ref, g_ref, wqkv_ref,
                               bqkv_ref, qg_ref, kg_ref, wo_ref, bo_ref,
                               o_ref, *, num_heads: int, rms: bool,
-                              compute_dtype):
+                              compute_dtype, quant_qk: bool = False):
     _, T, NC, C = x_ref.shape
     D = C // num_heads
     xb = x_ref[0].reshape(T * NC, C)
@@ -374,7 +402,7 @@ def _temporal_sublayer_kernel(x_ref, sh_ref, sc_ref, g_ref, wqkv_ref,
     c = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1) % NC
     attn = _packed_attention(
         q, k, v, head_dim=D, compute_dtype=compute_dtype,
-        scale=D ** -0.5, seg_mask=(r == c),
+        scale=D ** -0.5, seg_mask=(r == c), quant_qk=quant_qk,
     )
     out = jax.lax.dot_general(
         attn.astype(compute_dtype), wo_ref[...].astype(compute_dtype),
@@ -386,7 +414,7 @@ def _temporal_sublayer_kernel(x_ref, sh_ref, sc_ref, g_ref, wqkv_ref,
 
 def _temporal_sublayer_fwd_impl(x, sh, sc, gate, wqkv, bqkv, qg, kg, wo, bo,
                                 num_heads: int, rms: bool, compute_dtype,
-                                interpret: bool):
+                                interpret: bool, quant_qk: bool = False):
     """x [B, T, N, C]; sh/sc/gate [B, C] -> y [B, T, N, C]; temporal
     attention over T per (b, n)."""
     B, T, N, C = x.shape
@@ -396,7 +424,7 @@ def _temporal_sublayer_fwd_impl(x, sh, sc, gate, wqkv, bqkv, qg, kg, wo, bo,
     row = lambda a: a.reshape(1, -1)
     kernel = functools.partial(
         _temporal_sublayer_kernel, num_heads=num_heads, rms=rms,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, quant_qk=quant_qk,
     )
     vec = lambda: pl.BlockSpec((1, 1, C), lambda b, j: (b, 0, 0),
                                memory_space=pltpu.VMEM)
@@ -468,23 +496,24 @@ def temporal_sublayer_reference(x, sh, sc, gate, wqkv, bqkv, qg, kg, wo, bo,
     return y.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
 def _temporal_sublayer(x, sh, sc, gate, wqkv, bqkv, qg, kg, wo, bo,
-                       num_heads, rms, compute_dtype, interpret):
+                       num_heads, rms, compute_dtype, interpret, quant_qk):
     return _temporal_sublayer_fwd_impl(x, sh, sc, gate, wqkv, bqkv, qg, kg,
                                        wo, bo, num_heads, rms, compute_dtype,
-                                       interpret)
+                                       interpret, quant_qk)
 
 
 def _temporal_fwd(x, sh, sc, gate, wqkv, bqkv, qg, kg, wo, bo, num_heads,
-                  rms, compute_dtype, interpret):
+                  rms, compute_dtype, interpret, quant_qk):
     y = _temporal_sublayer_fwd_impl(x, sh, sc, gate, wqkv, bqkv, qg, kg, wo,
                                     bo, num_heads, rms, compute_dtype,
-                                    interpret)
+                                    interpret, quant_qk)
     return y, (x, sh, sc, gate, wqkv, bqkv, qg, kg, wo, bo)
 
 
-def _temporal_bwd(num_heads, rms, compute_dtype, interpret, res, gy):
+def _temporal_bwd(num_heads, rms, compute_dtype, interpret, quant_qk,
+                  res, gy):
     f = functools.partial(temporal_sublayer_reference, num_heads=num_heads,
                           rms=rms, compute_dtype=compute_dtype)
     _, vjp = jax.vjp(f, *res)
@@ -497,10 +526,11 @@ _temporal_sublayer.defvjp(_temporal_fwd, _temporal_bwd)
 def fused_temporal_sublayer(x, sh, sc, gate, wqkv, bqkv, qg, kg, wo, bo, *,
                             num_heads: int, rms: bool = True,
                             compute_dtype=jnp.bfloat16,
-                            interpret: bool = False):
+                            interpret: bool = False, quant_qk: bool = False):
     """Fused temporal sublayer on native [B, T, N, C] (attention over T)."""
     return _temporal_sublayer(x, sh, sc, gate, wqkv, bqkv, qg, kg, wo, bo,
-                              num_heads, rms, compute_dtype, interpret)
+                              num_heads, rms, compute_dtype, interpret,
+                              quant_qk)
 
 
 def temporal_sublayer_supports(B, T, N, C, num_heads) -> bool:

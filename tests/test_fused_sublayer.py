@@ -45,6 +45,42 @@ def test_self_sublayer_matches_reference(rms):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_self_sublayer_quant_qk():
+    """int8-QK self kernel (GVF_SELF_QUANT): per-(cell, head) max-abs scales
+    on both operands of the QK dot; drift vs the float path bounded by int8
+    quantization error on the scores."""
+    args = _self_args()
+    ref = fs.self_sublayer_reference(*args, num_heads=H, rms=True,
+                                     compute_dtype=jnp.float32)
+    out = fs.fused_self_sublayer(*args, num_heads=H, rms=True,
+                                 compute_dtype=jnp.float32, interpret=True,
+                                 quant_qk=True)
+    rel = jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref)
+    assert float(rel) < 0.02, float(rel)
+
+
+def test_temporal_sublayer_quant_qk():
+    ks = jax.random.split(jax.random.PRNGKey(5), 12)
+    x = _mk(ks[0], B, T, N, C)
+    sh = _mk(ks[1], B, C, scale=0.2)
+    sc = _mk(ks[2], B, C, scale=0.2)
+    g = _mk(ks[3], B, C, scale=0.5)
+    wqkv = _mk(ks[4], C, 3 * C, scale=0.05)
+    bqkv = _mk(ks[5], 3 * C, scale=0.05)
+    qg = jnp.abs(_mk(ks[6], C, scale=0.3)) + 1.0
+    kg = jnp.abs(_mk(ks[7], C, scale=0.3)) + 1.0
+    wo = _mk(ks[8], C, C, scale=0.05)
+    bo = _mk(ks[9], C, scale=0.05)
+    args = (x, sh, sc, g, wqkv, bqkv, qg, kg, wo, bo)
+    ref = fs.temporal_sublayer_reference(*args, num_heads=H, rms=True,
+                                         compute_dtype=jnp.float32)
+    out = fs.fused_temporal_sublayer(*args, num_heads=H, rms=True,
+                                     compute_dtype=jnp.float32,
+                                     interpret=True, quant_qk=True)
+    rel = jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref)
+    assert float(rel) < 0.02, float(rel)
+
+
 def test_self_sublayer_segmented():
     args = _self_args()
     ref = fs.self_sublayer_reference(*args, num_heads=H, rms=True,
